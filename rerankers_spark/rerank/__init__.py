@@ -1,0 +1,6 @@
+from rerankers_spark.rerank.ranker import (  # noqa: F401
+    AVAILABLE_SCORERS,
+    Reranker,
+    prep_docs,
+    register_scorer,
+)

@@ -1,0 +1,202 @@
+"""Port of the reference pytest suite semantics (north_star: "matching
+rerankers' pytest result-ordering tests for rank/top_k semantics").
+
+Sources: /root/reference/tests/test_results.py:6-39 and
+/root/reference/tests/test_crossenc.py:8-39 (shape test with scorer
+substituted by the deterministic stub — no model download).
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import pytest
+
+from rerankers_spark import Document, RankedResults, Reranker, Result
+from rerankers_spark.rerank.ranker import prep_docs
+
+
+# -- test_results.py:6-24 ---------------------------------------------------
+
+def test_ranked_results_functions():
+    results = RankedResults(
+        results=[
+            Result(document=Document(doc_id=0, text="Doc 0"), score=0.9, rank=2),
+            Result(document=Document(doc_id=1, text="Doc 1"), score=0.95, rank=1),
+        ],
+        query="Test Query",
+        has_scores=True,
+    )
+    assert results.results_count() == 2
+    top_k = results.top_k(1)
+    assert len(top_k) == 1
+    assert top_k[0].doc_id == 1
+    assert results.get_score_by_docid(0) == 0.9
+
+
+def test_result_attributes():
+    result = Result(document=Document(doc_id=1, text="Doc 1"), score=0.95, rank=1)
+    assert result.doc_id == 1
+    assert result.text == "Doc 1"
+    assert result.score == 0.95
+    assert result.rank == 1
+
+
+def test_result_metadata_passthrough():
+    r = Result(
+        document=Document(doc_id=1, text="d", metadata={"source": "s3"}),
+        score=1.0,
+    )
+    assert r.source == "s3"
+    with pytest.raises(AttributeError):
+        _ = r.nonexistent
+
+
+def test_result_validation_error():
+    with pytest.raises(ValueError) as excinfo:
+        Result(document=Document(doc_id=2, text="Doc 2"))
+    assert "Either score or rank must be provided." in str(excinfo.value)
+
+
+def test_indexing_is_passed_order_not_rank_order():
+    # reference results.py:48-50 + README.md:247 warning
+    rr = RankedResults(
+        results=[
+            Result(document=Document(doc_id="a", text="x"), score=0.1, rank=2),
+            Result(document=Document(doc_id="b", text="y"), score=0.9, rank=1),
+        ],
+        query="q",
+        has_scores=True,
+    )
+    assert rr[0].doc_id in ("a", "b")  # index order = construction order
+
+
+def test_topk_none_score_sorts_last():
+    # reference results.py:59-63: None → -inf when has_scores
+    rr = RankedResults(
+        results=[
+            Result(document=Document(doc_id=0, text="a"), score=None, rank=1),
+            Result(document=Document(doc_id=1, text="b"), score=0.5, rank=2),
+        ],
+        query="q",
+        has_scores=True,
+    )
+    assert [r.doc_id for r in rr.top_k(2)] == [1, 0]
+
+
+def test_topk_rank_mode_none_sorts_last():
+    rr = RankedResults(
+        results=[
+            Result(document=Document(doc_id=0, text="a"), rank=None, score=1.0),
+            Result(document=Document(doc_id=1, text="b"), rank=1),
+        ],
+        query="q",
+        has_scores=False,
+    )
+    assert [r.doc_id for r in rr.top_k(2)] == [1, 0]
+
+
+# -- prep_docs: reference utils.py:68-120 ------------------------------------
+
+def test_prep_docs_positional_ids():
+    docs = prep_docs(["a", "b", "c"])
+    assert [d.doc_id for d in docs] == [0, 1, 2]
+
+
+def test_prep_docs_explicit_ids_and_metadata():
+    docs = prep_docs(["a", "b"], doc_ids=["x", "y"], metadata=[{"k": "1"}, {}])
+    assert [d.doc_id for d in docs] == ["x", "y"]
+    assert docs[0].metadata == {"k": "1"}
+
+
+def test_prep_docs_override_warns():
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        docs = prep_docs([Document(text="a", doc_id=99)], doc_ids=[7])
+        assert docs[0].doc_id == 7
+        assert any("override" in str(x.message) for x in w)
+
+
+def test_prep_docs_single_string():
+    docs = prep_docs("hello")
+    assert len(docs) == 1 and docs[0].doc_id == 0
+
+
+def test_document_requires_text():
+    with pytest.raises(ValueError):
+        Document(doc_id=1)
+
+
+# -- test_crossenc.py shape (stub scorer, no model) ---------------------------
+
+def test_rank_shape_and_ordering():
+    r = Reranker("stub")
+    ranked = r.rank("12345", ["123", "12345", "1"], doc_ids=[10, 20, 30])
+    assert ranked.has_scores
+    assert [x.doc_id for x in ranked.top_k(3)] == [20, 10, 30]
+    assert [x.rank for x in sorted(ranked.results, key=lambda x: x.rank)] == [1, 2, 3]
+
+
+def test_rank_single_doc_no_rank():
+    # reference transformer_ranker.py:87-88
+    r = Reranker("stub")
+    ranked = r.rank("abc", ["abc"])
+    assert len(ranked) == 1
+    assert ranked[0].score is not None
+    assert ranked[0].rank is None
+
+
+def test_rank_tied_scores_stable_passed_order():
+    # equal-length docs → tied stub scores → stable passed order
+    r = Reranker("stub")
+    ranked = r.rank("ab", ["xx", "yy", "zz"])
+    assert [x.doc_id for x in ranked.top_k(3)] == [0, 1, 2]
+
+
+def test_score_single_pair():
+    r = Reranker("stub")
+    assert r.score("abc", "abc") == 0.0
+    assert r.score("abc", "abcdef") == -3.0
+
+
+def test_overlap_scorer():
+    r = Reranker("overlap")
+    ranked = r.rank("def parse", ["def parse(x)", "class Foo", "parse me"])
+    assert ranked.top_k(1)[0].doc_id == 0
+
+
+def test_compress_attaches_relevance_score():
+    r = Reranker("stub")
+    out = r.compress("abc", ["ab", "abcd", "abc"], k=2)
+    assert len(out) == 2
+    assert out[0].metadata["relevance_score"] == 0.0
+
+
+def test_unknown_model_type_warns_and_defaults():
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        try:
+            Reranker("mystery-model-xyz")
+        except ImportError:
+            pass  # cross-encoder deps absent in sandbox — expected
+        assert any("infer" in str(x.message).lower() for x in w)
+
+
+def test_rank_df_distributed(spark):
+    """Distributed rank path: scorer pandas UDF + window rank."""
+    cands = spark.createDataFrame(
+        [
+            (0, 100, "12345", "123"),
+            (0, 101, "12345", "12345"),
+            (0, 102, "12345", "1"),
+            (1, 200, "ab", "ab"),
+        ],
+        "query_id long, doc_id long, query string, text string",
+    )
+    out = Reranker("stub").rank_df(cands).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    q0 = sorted(by_q[0], key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in q0] == [101, 100, 102]
+    assert by_q[1][0]["rank"] == 1
