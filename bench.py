@@ -3,18 +3,23 @@
 Measures on $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) with
 local[$SPARK_GRAFT_CPUS]:
 
-* q_index_build   — SPIMI-style stats+postings build (the docs/sec metric)
-* q_bm25_exhaustive — exhaustive BM25 top-10 for the fixed query set
-* q_bm25_queryset — 50-query synthetic set top-10 (queries/sec metric)
+* q_index_build       — SPIMI block-index build, resumable layout
+                        (docs-indexed/sec — the north-rule metric)
+* q_bmw_queryset50    — 50-query BM25 top-10 via block-max WAND
+                        (queries/sec — the north-rule metric)
+* q_exhaustive_queryset50 — same queries, decode-everything path
+* q_two_stage         — BM25 top-100 → pandas-UDF rerank → top-10
 
-Scaling-efficiency evidence (north rule, N vs 4N) is produced by
-scripts/scaling_run.py which runs this same job at local[8] and local[32].
+Scaling-efficiency evidence (north rule, N vs 4N cores) is produced by
+scripts/scaling_run.py, which runs this file at local[8] and local[32]
+and records the ratio in BENCH_SCALING.md / BASELINE.md.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -22,13 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from rerankers_spark.corpus import documents_as_corpus  # noqa: E402
 from rerankers_spark.driver_contract import ENTRY_QUERIES  # noqa: E402
-from rerankers_spark.operators import bm25  # noqa: E402
-from rerankers_spark.operators.topk import topk  # noqa: E402
+from rerankers_spark.query.executor import Engine  # noqa: E402
 from rerankers_spark.session import get_spark  # noqa: E402
 
 
 def synthetic_queryset(spark, n=50):
-    """50 deterministic queries over the documents vocabulary."""
+    """Deterministic queries over the documents vocabulary."""
     base = [q for _, q in ENTRY_QUERIES]
     vocab = ["hash", "join", "window", "agg", "stream", "spark", "query",
              "fast", "merge", "sort", "batch", "customer", "vector",
@@ -44,61 +48,65 @@ def synthetic_queryset(spark, n=50):
     return spark.createDataFrame(qs, "query_id long, query string")
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+def run(sf_dir: str, cpus: int, index_root: str = "/tmp/bench_index"):
     spark = get_spark("rerankers-spark-bench", master=f"local[{cpus}]",
                       shuffle_partitions=max(cpus, 16))
     spark.sparkContext.setLogLevel("ERROR")
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     timings: dict[str, float] = {}
 
-    corpus = documents_as_corpus(spark, sf_dir)
+    corpus = documents_as_corpus(spark, sf_dir).cache()
     n_docs = corpus.count()
+    index_path = f"{index_root}_{os.path.basename(sf_dir)}_{cpus}"
+    shutil.rmtree(index_path, ignore_errors=True)
 
-    # --- index build: postings + termstats + scalars, materialized ----------
     t0 = time.perf_counter()
-    p = bm25.postings(corpus)
-    p.write.mode("overwrite").parquet("/tmp/bench_postings")
-    ts = bm25.term_stats(
-        spark.read.parquet("/tmp/bench_postings")
-    )
-    ts.write.mode("overwrite").parquet("/tmp/bench_termstats")
-    n, avgdl = bm25.corpus_scalars(corpus)
+    engine = Engine.build(spark, corpus, index_path,
+                          n_shards=max(cpus, 16), scorer="overlap")
     timings["q_index_build"] = time.perf_counter() - t0
 
-    p2 = spark.read.parquet("/tmp/bench_postings")
-    ts2 = spark.read.parquet("/tmp/bench_termstats")
-
-    # --- exhaustive BM25, fixed entry query set ------------------------------
-    qdf = spark.createDataFrame(ENTRY_QUERIES, "query_id long, query string")
-    t0 = time.perf_counter()
-    scored = bm25.score_candidates(qdf, p2, ts2, n, avgdl)
-    rows = topk(scored, 10).count()
-    timings["q_bm25_exhaustive"] = time.perf_counter() - t0
-
-    # --- 50-query set (query-throughput metric) ------------------------------
     q50 = synthetic_queryset(spark, 50)
-    t0 = time.perf_counter()
-    scored = bm25.score_candidates(q50, p2, ts2, n, avgdl)
-    topk(scored, 10).count()
-    timings["q_bm25_queryset50"] = time.perf_counter() - t0
 
-    total = sum(timings.values())
+    t0 = time.perf_counter()
+    n_bmw = engine.search(q50, k=10, mode="bmw").count()
+    timings["q_bmw_queryset50"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    engine.search(q50, k=10, mode="exhaustive").count()
+    timings["q_exhaustive_queryset50"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    engine.rank(q50, corpus, first_k=100, final_k=10).count()
+    timings["q_two_stage"] = time.perf_counter() - t0
+
     result = {
-        "metric": "bm25_engine_total",
-        "value": round(total, 3),
-        "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in timings.items()},
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_docs": n_docs,
-        "docs_per_sec_index_build": round(n_docs / timings["q_index_build"], 1),
-        "queries_per_sec_bm25": round(50 / timings["q_bm25_queryset50"], 1),
-        "topk_rows": rows,
+        "timings": timings,
+        "docs_per_sec_index_build": n_docs / timings["q_index_build"],
+        "queries_per_sec_bmw": 50 / timings["q_bmw_queryset50"],
+        "bmw_rows": n_bmw,
         "cpus": cpus,
     }
-    print(json.dumps(result))
     spark.stop()
+    return result
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    r = run(sf_dir, cpus)
+    total = sum(r["timings"].values())
+    print(json.dumps({
+        "metric": "two_stage_engine_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in r["timings"].items()},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_docs": r["n_docs"],
+        "docs_per_sec_index_build": round(r["docs_per_sec_index_build"], 1),
+        "queries_per_sec_bmw": round(r["queries_per_sec_bmw"], 1),
+        "cpus": cpus,
+    }))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,246 @@
+"""SPIMI-style inverted-index build → compressed block shards (north_star).
+
+Layout
+------
+The index is DOC-SHARDED: ``shard_id = pmod(xxhash64(doc_id), n_shards)``.
+Each shard is a self-contained mini-index over a disjoint doc subset, so:
+
+* head-term skew is bounded STRUCTURALLY — within one build task a term's
+  postings can never exceed the shard's doc count, no matter how common
+  the term is corpus-wide (this replaces ad-hoc salting: the doc-hash IS
+  the salt, applied uniformly, and queries need no de-salting merge
+  because per-doc scores are shard-local and independent);
+* query-time block-max WAND runs per (query, shard) in parallel and
+  shard-local top-k lists merge into the exact global top-k (scores
+  depend only on global scalars N/avgdl/df, never on shard membership);
+* checkpoint/resume is per shard: a failed build resumes by rebuilding
+  only shards missing from the manifest.
+
+At 100 TB, ``n_shards`` is sized so one shard's postings fit a task
+(~10k shards for 10^12 docs); locally we default to a small multiple of
+cores.
+
+Block format (FIXTURES.md §4): ≤128 postings per block, doc_id-ascending;
+``docs_vb`` = varbyte(delta(doc_ids)) anchored at ``first_doc``;
+``tfs_vb`` / ``dls_vb`` = varbyte(raw tf / doc-length). Storing dl in the
+block lets query-time scoring recompute EXACT float64 BM25 (tf, dl,
+global avgdl, idf) with no docstats join; ``max_tfsat`` is the exact
+per-block max of the tf-saturation factor (idf-independent, so term
+statistics are only needed at query time, broadcast-joined onto query
+terms).
+
+Lineage (input_hint): docstats carries per-row ``content_sha256``; the
+manifest aggregates row counts and an order-independent XOR fingerprint
+of those hashes per shard.
+
+The reference presupposes this whole stage as an external artifact
+(tests/consistency_notebooks/test_crossenc.ipynb cell 5).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Iterable, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rerankers_spark.index import varbyte as vb
+from rerankers_spark.operators import bm25
+
+BLOCK_SIZE = 128
+
+BLOCKS_SCHEMA = (
+    "shard_id int, term string, block_id int, first_doc long, last_doc long, "
+    "n int, docs_vb binary, tfs_vb binary, dls_vb binary, max_tfsat double"
+)
+
+MANIFEST_SCHEMA = (
+    "shard_id int, n_docs long, n_postings long, n_blocks long, "
+    "sum_dl long, sha256_xor long, status string, wall_time double"
+)
+
+
+def _tf_sat(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    return (tf * (bm25.K1 + 1.0)) / (
+        tf + bm25.K1 * (1.0 - bm25.B + bm25.B * dl / avgdl)
+    )
+
+
+def _build_shard_blocks(
+    pdf: pd.DataFrame, avgdl: float
+) -> pd.DataFrame:
+    """One shard's (term, doc_id, tf, dl) rows → block rows. Pure numpy /
+    pandas, vectorized; runs inside applyInPandas."""
+    out = {k: [] for k in ("shard_id", "term", "block_id", "first_doc",
+                           "last_doc", "n", "docs_vb", "tfs_vb", "dls_vb",
+                           "max_tfsat")}
+    if len(pdf) == 0:
+        return pd.DataFrame(out)
+    shard_id = int(pdf["shard_id"].iloc[0])
+    pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+    terms = pdf["term"].to_numpy()
+    docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    dls = pdf["dl"].to_numpy(dtype=np.int64)
+    # term run boundaries
+    change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(terms)]))
+    for s, e in zip(starts, ends):
+        term = terms[s]
+        for bi, off in enumerate(range(s, e, BLOCK_SIZE)):
+            hi = min(off + BLOCK_SIZE, e)
+            d = docs[off:hi]
+            t = tfs[off:hi]
+            ln = dls[off:hi]
+            sat = _tf_sat(t, ln, avgdl)
+            out["shard_id"].append(shard_id)
+            out["term"].append(term)
+            out["block_id"].append(bi)
+            out["first_doc"].append(int(d[0]))
+            out["last_doc"].append(int(d[-1]))
+            out["n"].append(int(hi - off))
+            out["docs_vb"].append(vb.delta_encode(d, base=int(d[0])))
+            out["tfs_vb"].append(vb.encode(t))
+            out["dls_vb"].append(vb.encode(ln))
+            out["max_tfsat"].append(float(sat.max()))
+    return pd.DataFrame(out)
+
+
+def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_ids, tfs, dls) for one block row (Row or dict-like)."""
+    docs = vb.delta_decode(row["docs_vb"], base=int(row["first_doc"]))
+    return docs, vb.decode(row["tfs_vb"]), vb.decode(row["dls_vb"])
+
+
+class IndexPaths:
+    def __init__(self, root: str):
+        self.root = root
+        self.blocks = f"{root}/blocks"
+        self.docstats = f"{root}/docstats"
+        self.termstats = f"{root}/termstats"
+        self.scalars = f"{root}/scalars"
+        self.manifest = f"{root}/manifest"
+
+
+def _xor_sha_col():
+    """Order-independent 60-bit fingerprint of content_sha256 per shard."""
+    return F.conv(F.substring("content_sha256", 1, 15), 16, 10).cast("long")
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    n_shards: int = 32,
+    resume: bool = False,
+) -> IndexPaths:
+    """Build (or resume) the block index at ``path``.
+
+    corpus: DataFrame(doc_id, content, content_sha256, ...).
+    Plan shape: ONE wide shuffle (explode→groupBy for tf) feeding a
+    per-shard applyInPandas; global stats are separate cheap aggs.
+    """
+    paths = IndexPaths(path)
+    done: set[int] = set()
+    if resume and os.path.exists(paths.manifest):
+        done = {
+            r["shard_id"]
+            for r in spark.read.parquet(paths.manifest)
+            .where(F.col("status") == "ok")
+            .select("shard_id")
+            .collect()
+        }
+
+    corpus = corpus.withColumn(
+        "shard_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
+    )
+
+    # ---- global stats (full corpus, independent of resume state) ----------
+    dt = corpus.select(
+        "doc_id", "shard_id", "content_sha256",
+        F.size(
+            F.filter(
+                F.split(F.lower("content"), "[^a-z0-9_]+"),
+                lambda t: (F.length(t) > 0) & (F.length(t) <= 64),
+            )
+        ).alias("dl"),
+    )
+    if not (resume and os.path.exists(paths.docstats)):
+        dt.write.mode("overwrite").parquet(paths.docstats)
+    docstats = spark.read.parquet(paths.docstats)
+    row = docstats.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+                       ).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["avgdl"])
+    spark.createDataFrame(
+        [(n_docs, avgdl)], "n_docs long, avgdl double"
+    ).coalesce(1).write.mode("overwrite").parquet(paths.scalars)
+
+    # ---- postings for not-yet-done shards ----------------------------------
+    todo = corpus.where(~F.col("shard_id").isin(list(done))) if done else corpus
+    p = (
+        bm25.doc_tokens(todo.select("doc_id", "content"))
+        .withColumn(
+            "shard_id",
+            F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int"),
+        )
+        .select("shard_id", "doc_id", "dl", F.explode("tokens").alias("term"))
+        .groupBy("shard_id", "term", "doc_id", "dl")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+    t0 = time.time()
+    blocks = p.groupBy("shard_id").applyInPandas(
+        lambda pdf: _build_shard_blocks(pdf, avgdl), BLOCKS_SCHEMA
+    )
+    writer = blocks.write.partitionBy("shard_id")
+    if done:
+        writer.mode("append").parquet(paths.blocks)
+    else:
+        writer.mode("overwrite").parquet(paths.blocks)
+    wall = time.time() - t0
+
+    # ---- termstats from the FULL block index (df = sum of block ns per
+    # term... n counts postings = one per doc → df) -------------------------
+    all_blocks = spark.read.parquet(paths.blocks)
+    ts = all_blocks.groupBy("term").agg(
+        F.sum("n").cast("long").alias("df")
+    )
+    ts.write.mode("overwrite").parquet(paths.termstats)
+
+    # ---- manifest: per-shard lineage + metrics ------------------------------
+    shard_stats = docstats.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        F.expr(
+            "bit_xor(cast(conv(substring(content_sha256,1,15),16,10) "
+            "as bigint))"
+        ).alias("sha256_xor"),
+    )
+    block_stats = all_blocks.groupBy("shard_id").agg(
+        F.sum("n").cast("long").alias("n_postings"),
+        F.count("*").alias("n_blocks"),
+    )
+    manifest = (
+        shard_stats.join(block_stats, "shard_id", "left")
+        .na.fill({"n_postings": 0, "n_blocks": 0})
+        .select(
+            "shard_id", "n_docs", "n_postings", "n_blocks", "sum_dl",
+            "sha256_xor",
+            F.lit("ok").alias("status"),
+            F.lit(float(wall)).alias("wall_time"),
+        )
+    )
+    manifest.write.mode("overwrite").parquet(paths.manifest)
+    return paths
+
+
+def load_scalars(spark: SparkSession, paths: IndexPaths) -> tuple[int, float]:
+    r = spark.read.parquet(paths.scalars).collect()[0]
+    return int(r["n_docs"]), float(r["avgdl"])

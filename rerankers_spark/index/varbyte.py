@@ -25,11 +25,8 @@ def encode(values: np.ndarray) -> bytes:
     vals = np.asarray(values, dtype=np.uint64)
     if vals.size == 0:
         return b""
-    if values.min() < 0:
+    if np.asarray(values).min() < 0:
         raise ValueError("varbyte requires non-negative values")
-    # number of 7-bit groups per value (at least 1)
-    nbits = np.maximum(64 - np.array(
-        [int(v).bit_length() for v in np.zeros(0)] or [0]), 0)  # placeholder
     # vectorized byte-length: ceil(bit_length/7), min 1
     bl = np.zeros(vals.shape, dtype=np.int64)
     tmp = vals.copy()
@@ -79,15 +76,26 @@ def decode(buf: bytes) -> np.ndarray:
     return vals.astype(np.int64)
 
 
+_BIAS = np.uint64(1) << np.uint64(63)
+
+
 def delta_encode(sorted_ids: np.ndarray, base: int) -> bytes:
-    """Delta against a base (block's predecessor doc or first_doc-anchor)."""
-    ids = np.asarray(sorted_ids, dtype=np.int64)
-    deltas = np.diff(ids, prepend=np.int64(base))
-    if (deltas < 0).any():
+    """Delta against a base (the block's first_doc anchor).
+
+    Ids are signed int64 (xxhash64 doc ids span the full range), so deltas
+    are computed in biased uint64 space — int64 ascending order is
+    preserved by the +2^63 bias, and uint64 differences can't overflow.
+    """
+    ids = np.asarray(sorted_ids, dtype=np.int64).astype(np.uint64)
+    ids ^= _BIAS  # flip sign bit == +2^63 bias, order-preserving, no overflow
+    b = np.uint64((int(base) + (1 << 63)) % (1 << 64))
+    prev = np.concatenate(([b], ids[:-1]))
+    if (ids < prev).any():
         raise ValueError("doc ids must be sorted ascending")
-    return encode(deltas)
+    return encode(ids - prev)
 
 
 def delta_decode(buf: bytes, base: int) -> np.ndarray:
-    deltas = decode(buf)
-    return np.cumsum(deltas) + base
+    deltas = decode(buf).astype(np.uint64)
+    b = np.uint64((int(base) + (1 << 63)) % (1 << 64))
+    return ((np.cumsum(deltas) + b) - _BIAS).astype(np.int64)

@@ -1,0 +1,253 @@
+"""Deduplication operators over a document table — exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine.
+
+These are the training-data-pipeline operators a 100 TB corpus needs in
+front of indexing. All hot paths are native Spark SQL expressions (JVM,
+codegen); the only "hash" primitive is md5 → hex-prefix → bigint, chosen
+because it is bit-identical across Spark and DuckDB (drivers the oracle
+cross-checks) and stable across JVMs — xxhash64/murmur would tie the
+artifact to one engine.
+
+Scale notes:
+* exact dedup: one shuffle (hash groupBy on the content digest).
+* MinHash signatures: explode(shingles) → groupBy(doc).agg(P mins) —
+  map-side partial min makes the shuffle carry only P values per doc.
+* LSH pairs: signatures → band keys → groupBy band bucket → pairs only
+  within buckets (never the O(n²) cross join). Bucket skew (a degenerate
+  band value shared by everything) is capped via max_bucket_size.
+* n-gram Jaccard: shingle-join restricted to (doc_a < doc_b) with a
+  common-shingle count; at scale this runs AFTER LSH candidate pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rerankers_spark.functions.tokenize import tokenize_col
+
+P_MOD = 1_000_000_007
+N_PERM = 8
+N_BANDS = 4  # 2 rows per band
+SHINGLE_K = 3
+
+
+def _portable_hash(c):
+    """bigint hash from md5 hex prefix — identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def perm_params(i: int) -> tuple[int, int]:
+    return 1 + 2 * i, 7 + 11 * i
+
+
+def shingles_col(tokens_col: str = "tokens", k: int = SHINGLE_K):
+    """k-token shingles joined by spaces; empty array when too short."""
+    return F.when(
+        F.size(F.col(tokens_col)) >= k,
+        F.expr(
+            f"transform(sequence(0, size({tokens_col}) - {k}), i -> "
+            + "concat_ws(' ', "
+            + ", ".join(f"{tokens_col}[i + {j}]" for j in range(k))
+            + "))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(content_md5, keep_doc_id, n_copies): keeper = min id per digest."""
+    return docs.groupBy(F.md5(text_col).alias("content_md5")).agg(
+        F.min(id_col).alias("keep_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) — distinct shingles per doc."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    tokenize_col(text_col).alias("tokens"))
+        .select("doc_id", F.explode(shingles_col()).alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       n_perm: int = N_PERM) -> DataFrame:
+    """(doc_id, mh0..mh{n_perm-1}) MinHash signature.
+
+    min over shingles of (a_i * (h % P) + b_i) % P per permutation i.
+    Duplicate shingles don't affect MIN, so no distinct is needed — the
+    aggregation is one shuffle with map-side partial mins.
+    """
+    sh = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    tokenize_col(text_col).alias("tokens"))
+        .select("doc_id", F.explode(shingles_col()).alias("shingle"))
+        .withColumn("h", _portable_hash(F.col("shingle")) % P_MOD)
+    )
+    aggs = []
+    for i in range(n_perm):
+        a, b = perm_params(i)
+        aggs.append(F.min((F.col("h") * a + b) % P_MOD).alias(f"mh{i}"))
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(signatures: DataFrame, n_perm: int = N_PERM,
+              n_bands: int = N_BANDS) -> DataFrame:
+    """(doc_id, band, band_key): band key = md5 of the band's minhashes."""
+    rows_per_band = n_perm // n_bands
+    out = []
+    for band in range(n_bands):
+        cols = [f"mh{band * rows_per_band + r}" for r in range(rows_per_band)]
+        out.append(
+            signatures.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws("_", *cols)).alias("band_key"),
+            )
+        )
+    df = out[0]
+    for o in out[1:]:
+        df = df.unionByName(o)
+    return df
+
+
+def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        max_bucket_size: int = 1000) -> DataFrame:
+    """(doc_a, doc_b, n_bands_matched, est_jaccard): pairs sharing ≥1 LSH
+    band bucket; est_jaccard = matching minhash fraction.
+
+    max_bucket_size drops degenerate buckets (scale guard: a bucket of
+    size m yields m² pairs — cap it and log the drop, don't explode).
+    """
+    sigs = minhash_signatures(docs, text_col, id_col).cache()
+    bands = lsh_bands(sigs)
+    sized = bands.withColumn(
+        "bucket_n", F.count("*").over(
+            Window.partitionBy("band", "band_key"))
+    ).where(F.col("bucket_n") <= max_bucket_size)
+    a = sized.alias("a")
+    b = sized.alias("b")
+    pairs = (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_bands_matched"))
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_PERM)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_PERM)],
+    )
+    est = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_PERM)
+    ) / float(N_PERM)
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", "n_bands_matched",
+                est.alias("est_jaccard"))
+    )
+
+
+def simhash32(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash) 32-bit tf-weighted SimHash over tokens."""
+    tok = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    tokenize_col(text_col).alias("tokens"))
+        .select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", _portable_hash(F.col("term")))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1,
+                   F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"s{j}")
+        for j in range(32)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    simhash = sum(
+        F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(0)
+        for j in range(32)
+    )
+    return agg.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(doc_a, doc_b, hamming) — simhash pairs within max_hamming.
+
+    Scale path: block on simhash bytes (4 bands of 8 bits) so equal-band
+    candidates join, instead of the O(n²) cross join."""
+    s = simhash32(docs, text_col, id_col)
+    bands = None
+    for band in range(4):
+        b = s.select(
+            "doc_id", "simhash",
+            F.lit(band).alias("band"),
+            F.shiftright(F.col("simhash"), band * 8).bitwiseAND(0xFF)
+            .alias("band_key"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        min_common: int = 1) -> DataFrame:
+    """(doc_a, doc_b, n_common, jaccard) via distinct-shingle join."""
+    sh = doc_shingles(docs, text_col, id_col).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("n_b"))
+    return (
+        common.join(na, "doc_a").join(nb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_common",
+            (F.col("n_common").cast("double")
+             / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+            .alias("jaccard"),
+        )
+    )

@@ -1,0 +1,321 @@
+"""Block-max WAND top-k over the doc-sharded block index.
+
+Distribution model: one WAND run per (query_id, shard_id) group via
+``applyInPandas`` — the doc-sharded layout (see spimi.py) makes shard
+results independent, so per-shard top-k lists merge into the EXACT global
+top-k with a final window. Parallelism = |queries| × |shards|.
+
+The kernel (Ding & Suel, "Faster Top-k Document Retrieval Using Block-Max
+Indexes", SIGIR 2011) is numpy-over-decoded-blocks inside the UDF — an
+algorithmic skip-list, not a Catalyst concern. Correctness invariants:
+
+* pivot docs are nondecreasing, so pruning at ``ub <= θ`` can never drop
+  a doc that would win the (score desc, doc_id asc) tie-break against an
+  equal-scored doc already in the heap (earlier == smaller doc_id wins);
+* the skip target d' is capped by the next term's cur_doc, so docs in
+  [pivot, d') provably have upper bound ≤ θ from the prefix terms alone;
+* scores are recomputed in float64 from raw (tf, dl) stored in the block
+  plus global (idf, avgdl) → bit-identical to the exhaustive path.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rerankers_spark.index import varbyte as vb
+from rerankers_spark.index.spimi import IndexPaths, load_scalars
+from rerankers_spark.operators import bm25
+from rerankers_spark.operators.topk import topk
+
+_INF = np.iinfo(np.int64).max
+
+
+class _TermData:
+    """Immutable per-term block table + shared decode cache, reusable by
+    every query in the shard group that touches this term."""
+
+    __slots__ = ("term", "block_first", "block_last", "block_max",
+                 "docs_vb", "tfs_vb", "dls_vb", "nblocks", "max_sat",
+                 "_cache")
+
+    def __init__(self, term: str, g: pd.DataFrame):
+        g = g.sort_values("block_id")
+        self.term = term
+        self.block_first = g["first_doc"].to_numpy(dtype=np.int64)
+        self.block_last = g["last_doc"].to_numpy(dtype=np.int64)
+        self.block_max = g["max_tfsat"].to_numpy(dtype=np.float64)
+        self.docs_vb = g["docs_vb"].to_list()
+        self.tfs_vb = g["tfs_vb"].to_list()
+        self.dls_vb = g["dls_vb"].to_list()
+        self.nblocks = len(self.block_last)
+        self.max_sat = float(self.block_max.max()) if self.nblocks else 0.0
+        self._cache: dict[int, tuple] = {}
+
+    def decoded(self, bi: int) -> tuple:
+        got = self._cache.get(bi)
+        if got is None:
+            got = (
+                vb.delta_decode(self.docs_vb[bi],
+                                base=int(self.block_first[bi])),
+                vb.decode(self.tfs_vb[bi]),
+                vb.decode(self.dls_vb[bi]),
+            )
+            self._cache[bi] = got
+        return got
+
+
+class _TermCursor:
+    __slots__ = ("idf", "data", "bi", "pos", "docs", "tfs",
+                 "dls", "exhausted", "U", "avgdl")
+
+    def __init__(self, data: _TermData, idf: float, avgdl: float):
+        self.data = data
+        self.idf = idf
+        self.avgdl = avgdl
+        self.exhausted = data.nblocks == 0
+        self.U = idf * data.max_sat
+        self.bi = -1
+        self.pos = 0
+        if not self.exhausted:
+            self._load(0)
+
+    @property
+    def block_last(self):
+        return self.data.block_last
+
+    @property
+    def block_max(self):
+        return self.data.block_max
+
+    @property
+    def nblocks(self):
+        return self.data.nblocks
+
+    def _load(self, bi: int) -> None:
+        self.bi = bi
+        self.docs, self.tfs, self.dls = self.data.decoded(bi)
+        self.pos = 0
+
+    def cur_doc(self) -> int:
+        return _INF if self.exhausted else int(self.docs[self.pos])
+
+    def score_at_cur(self) -> float:
+        tf = float(self.tfs[self.pos])
+        dl = float(self.dls[self.pos])
+        sat = tf * (bm25.K1 + 1.0) / (
+            tf + bm25.K1 * (1.0 - bm25.B + bm25.B * dl / self.avgdl)
+        )
+        return self.idf * sat
+
+    def shallow_block(self, target: int) -> int:
+        """Index of first block with last_doc >= target (no decode);
+        nblocks if none."""
+        if self.exhausted:
+            return self.nblocks
+        return int(np.searchsorted(self.block_last, target, side="left"))
+
+    def shallow_max(self, target: int) -> float:
+        sbi = self.shallow_block(target)
+        return float(self.block_max[sbi]) if sbi < self.nblocks else 0.0
+
+    def shallow_last(self, target: int) -> int:
+        sbi = self.shallow_block(target)
+        return int(self.block_last[sbi]) if sbi < self.nblocks else _INF
+
+    def seek(self, target: int) -> None:
+        """Advance to first posting with doc >= target (block skips are
+        metadata-only; at most one decode)."""
+        if self.exhausted or self.cur_doc() >= target:
+            return
+        sbi = self.shallow_block(target)
+        if sbi >= self.nblocks:
+            self.exhausted = True
+            return
+        if sbi != self.bi:
+            self._load(sbi)
+        self.pos = int(np.searchsorted(self.docs, target, side="left"))
+        # block_last >= target guarantees pos < len(docs)
+
+    def advance_one(self) -> None:
+        if self.exhausted:
+            return
+        self.pos += 1
+        if self.pos >= len(self.docs):
+            if self.bi + 1 >= self.nblocks:
+                self.exhausted = True
+            else:
+                self._load(self.bi + 1)
+
+
+def _wand_single(cursors: list[_TermCursor], k: int) -> list[tuple[float, int]]:
+    """Core WAND loop: cursors → [(score, -doc_id)] top-k heap contents."""
+    cursors = [c for c in cursors if not c.exhausted]
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+
+    def theta() -> float:
+        return heap[0][0] if len(heap) >= k else float("-inf")
+
+    while True:
+        live = [c for c in cursors if not c.exhausted]
+        if not live:
+            break
+        live.sort(key=lambda c: c.cur_doc())
+        # pivot selection on global upper bounds
+        acc, p = 0.0, -1
+        th = theta()
+        for i, c in enumerate(live):
+            acc += c.U
+            if acc > th:
+                p = i
+                break
+        if p < 0:
+            break
+        pivot_doc = live[p].cur_doc()
+        if pivot_doc == _INF:
+            break
+        # extend the prefix over every term tied at pivot_doc: they all
+        # contribute to pivot_doc (bound must include them) and the skip
+        # cap below must be STRICTLY past pivot_doc to guarantee progress
+        while p + 1 < len(live) and live[p + 1].cur_doc() == pivot_doc:
+            p += 1
+        prefix = live[: p + 1]
+        # block-max refinement
+        ub = sum(c.idf * c.shallow_max(pivot_doc) for c in prefix)
+        if ub > th:
+            if live[0].cur_doc() == pivot_doc:
+                # fully aligned → exact evaluation
+                s = 0.0
+                for c in live:
+                    if c.cur_doc() == pivot_doc:
+                        s += c.score_at_cur()
+                item = (s, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+                for c in live:
+                    if c.cur_doc() == pivot_doc:
+                        c.advance_one()
+            else:
+                # align: every prefix cursor must reach the pivot before it
+                # can be evaluated or safely skipped
+                for c in prefix:
+                    if c.cur_doc() < pivot_doc:
+                        c.seek(pivot_doc)
+        else:
+            # skip: docs in [pivot_doc, d') are bounded by the same block
+            # maxes; d' capped by the next term's cur_doc
+            d_new = min(c.shallow_last(pivot_doc) for c in prefix)
+            d_new = max(d_new + 1 if d_new != _INF else _INF,
+                        pivot_doc + 1)
+            if p + 1 < len(live):
+                d_new = min(d_new, live[p + 1].cur_doc())
+            for c in prefix:
+                c.seek(d_new)
+    return sorted(heap, key=lambda t: (-t[0], -t[1]))
+
+
+def wand_topk_group(pdf: pd.DataFrame, k: int, avgdl: float) -> pd.DataFrame:
+    """One (query_id, shard_id) group of block rows → local top-k.
+    (Single-query form; the distributed path uses wand_topk_shard.)"""
+    if len(pdf) == 0:
+        return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
+    query_id = int(pdf["query_id"].iloc[0])
+    cursors = [
+        _TermCursor(_TermData(str(term), g), float(g["idf"].iloc[0]), avgdl)
+        for term, g in pdf.groupby("term")
+    ]
+    out = _wand_single(cursors, k)
+    return pd.DataFrame(
+        {
+            "query_id": np.full(len(out), query_id, dtype=np.int64),
+            "doc_id": np.array([-d for _, d in out], dtype=np.int64),
+            "score": np.array([s for s, _ in out], dtype=np.float64),
+        }
+    )
+
+
+def wand_topk_shard(
+    pdf: pd.DataFrame,
+    queries: list[tuple[int, list[tuple[str, float]]]],
+    k: int,
+    avgdl: float,
+) -> pd.DataFrame:
+    """One shard's blocks (ALL query terms, deduplicated) + the full query
+    list → per-query local top-k.
+
+    Decoded blocks are cached per term and shared across queries — the
+    shard's bytes move through the shuffle exactly once regardless of how
+    many queries touch the same head term.
+    """
+    terms: dict[str, _TermData] = {
+        str(term): _TermData(str(term), g) for term, g in pdf.groupby("term")
+    }
+    qids, docs, scores = [], [], []
+    for query_id, q_terms in queries:
+        cursors = [
+            _TermCursor(terms[t], idf, avgdl)
+            for t, idf in q_terms
+            if t in terms
+        ]
+        if not cursors:
+            continue
+        for s, negd in _wand_single(cursors, k):
+            qids.append(query_id)
+            docs.append(-negd)
+            scores.append(s)
+    return pd.DataFrame(
+        {
+            "query_id": np.array(qids, dtype=np.int64),
+            "doc_id": np.array(docs, dtype=np.int64),
+            "score": np.array(scores, dtype=np.float64),
+        }
+    )
+
+
+def query_terms_with_idf(
+    spark: SparkSession, queries: DataFrame, paths: IndexPaths, n_docs: int
+) -> DataFrame:
+    """(query_id, term, idf) for the query set — termstats is filtered to
+    the query vocabulary BEFORE it is broadcast (semi-reduction), so the
+    full vocab table never moves."""
+    qt = bm25.query_terms(queries)
+    ts = spark.read.parquet(paths.termstats)
+    return qt.join(ts, "term", "inner").select(
+        "query_id", "term", bm25.idf_col(F.col("df"), n_docs).alias("idf")
+    )
+
+
+def bmw_topk(
+    spark: SparkSession,
+    queries: DataFrame,
+    paths: IndexPaths,
+    k: int = 10,
+) -> DataFrame:
+    """(query_id, doc_id, score, rank): exact BM25 top-k via BMW."""
+    n_docs, avgdl = load_scalars(spark, paths)
+    qt = query_terms_with_idf(spark, queries, paths, n_docs)
+    # The query set is driver-small by construction (it is the other side
+    # of a broadcast anyway); shipping it as a task closure lets one shard
+    # group serve ALL queries without duplicating block bytes per query.
+    q_map: dict[int, list[tuple[str, float]]] = {}
+    for r in qt.collect():
+        q_map.setdefault(r["query_id"], []).append((r["term"], r["idf"]))
+    q_list = sorted((qid, ts) for qid, ts in q_map.items())
+    terms = sorted({t for _, ts in q_list for t, _ in ts})
+    if not terms:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, score double, rank int"
+        )
+    blocks = spark.read.parquet(paths.blocks).where(F.col("term").isin(terms))
+    local = blocks.groupBy("shard_id").applyInPandas(
+        lambda pdf: wand_topk_shard(pdf, q_list, k, avgdl),
+        "query_id long, doc_id long, score double",
+    )
+    return topk(local, k)

@@ -1,0 +1,128 @@
+"""Engine: the two-stage entry point (SURVEY.md §3 lifecycle).
+
+``Engine(spark, index_path)`` ≈ the reference's ``Reranker(model_name)``
+construction (rerankers/reranker.py:196-247) with the index standing in
+for the model checkpoint; ``Engine.search`` is the first stage the
+reference presupposes; ``Engine.rank`` is the full pipeline of the
+consistency notebooks (BM25 top-N → rerank → top-k), internalized as one
+Spark job instead of a per-query Python loop.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rerankers_spark.index.spimi import IndexPaths, build_index, load_scalars
+from rerankers_spark.operators import bm25
+from rerankers_spark.operators.topk import topk
+from rerankers_spark.query import bmw
+from rerankers_spark.rerank.ranker import Reranker
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, index_path: str,
+                 scorer: str = "overlap"):
+        self.spark = spark
+        self.paths = IndexPaths(index_path)
+        self.reranker = Reranker(scorer, spark=spark)
+
+    @classmethod
+    def build(cls, spark: SparkSession, corpus: DataFrame, index_path: str,
+              n_shards: int = 32, resume: bool = False,
+              scorer: str = "overlap") -> "Engine":
+        build_index(spark, corpus, index_path, n_shards=n_shards,
+                    resume=resume)
+        return cls(spark, index_path, scorer=scorer)
+
+    # -- first stage ----------------------------------------------------------
+
+    def search(self, queries: DataFrame, k: int = 10,
+               mode: str = "bmw") -> DataFrame:
+        """(query_id, doc_id, score, rank) — BM25 top-k.
+
+        mode='bmw' (block-skipping fast path) or 'exhaustive' (decode-all
+        oracle path); both are exact and rank-identical.
+        """
+        if mode == "bmw":
+            return bmw.bmw_topk(self.spark, queries, self.paths, k=k)
+        if mode == "exhaustive":
+            return self._exhaustive(queries, k)
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def _exhaustive(self, queries: DataFrame, k: int) -> DataFrame:
+        """Score every posting of every query term (no skipping) by
+        decoding blocks — the C9 oracle path over the SAME index bytes."""
+        import numpy as np
+        import pandas as pd
+
+        from rerankers_spark.index import varbyte as vb_codec
+
+        n_docs, avgdl = load_scalars(self.spark, self.paths)
+        qt = bmw.query_terms_with_idf(self.spark, queries, self.paths, n_docs)
+        terms = [r["term"] for r in qt.select("term").distinct().collect()]
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "query_id long, doc_id long, score double, rank int"
+            )
+        blocks = self.spark.read.parquet(self.paths.blocks).where(
+            F.col("term").isin(terms)
+        )
+        matched = blocks.join(F.broadcast(qt), "term")
+        k1, b = bm25.K1, bm25.B
+
+        def _decode_score(batches):
+            for pdf in batches:
+                qids, docs_out, contribs = [], [], []
+                for row in pdf.itertuples(index=False):
+                    docs = vb_codec.delta_decode(row.docs_vb,
+                                                 base=row.first_doc)
+                    tfs = vb_codec.decode(row.tfs_vb).astype(np.float64)
+                    dls = vb_codec.decode(row.dls_vb).astype(np.float64)
+                    sat = tfs * (k1 + 1.0) / (
+                        tfs + k1 * (1.0 - b + b * dls / avgdl)
+                    )
+                    qids.append(
+                        np.full(len(docs), row.query_id, dtype=np.int64)
+                    )
+                    docs_out.append(docs)
+                    contribs.append(row.idf * sat)
+                if qids:
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.concatenate(qids),
+                            "doc_id": np.concatenate(docs_out),
+                            "contrib": np.concatenate(contribs),
+                        }
+                    )
+
+        contrib = matched.mapInPandas(
+            _decode_score, "query_id long, doc_id long, contrib double"
+        )
+        scored = contrib.groupBy("query_id", "doc_id").agg(
+            F.sum("contrib").alias("score")
+        )
+        return topk(scored, k)
+
+    # -- two-stage pipeline ---------------------------------------------------
+
+    def rank(self, queries: DataFrame, corpus_text: DataFrame,
+             first_k: int = 100, final_k: int = 10,
+             mode: str = "bmw") -> DataFrame:
+        """BM25 top-first_k → join text → rerank scorer UDF → top-final_k.
+
+        This is the consistency-notebook pipeline (test_crossenc.ipynb
+        cells 5-8) as one job. corpus_text: (doc_id, content).
+        """
+        cands = self.search(queries, k=first_k, mode=mode).select(
+            "query_id", "doc_id", F.col("score").alias("bm25_score")
+        )
+        with_text = cands.join(corpus_text.select(
+            "doc_id", F.col("content").alias("text")), "doc_id")
+        with_query = with_text.join(F.broadcast(queries), "query_id")
+        reranked = self.reranker.rank_df(with_query)
+        return reranked.where(F.col("rank") <= final_k).select(
+            "query_id", "doc_id", "bm25_score", "score", "rank"
+        )

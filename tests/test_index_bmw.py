@@ -1,0 +1,211 @@
+"""SPIMI block index + BMW query path: equivalence with the exhaustive
+native path and the numpy oracle; checkpoint/resume; lineage invariants.
+(SURVEY.md §7 steps 5-6; north_rule rank-identity + resumability.)"""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rerankers_spark.index import spimi
+from rerankers_spark.index import varbyte as vb
+from rerankers_spark.operators import bm25
+from rerankers_spark.query import bmw
+from rerankers_spark.query.executor import Engine
+from tests.oracle import BM25Oracle
+
+INDEX_PATH = "/tmp/test_index"
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tiny_corpus):
+    shutil.rmtree(INDEX_PATH, ignore_errors=True)
+    return Engine.build(spark, tiny_corpus, INDEX_PATH, n_shards=8)
+
+
+def test_block_format(spark, engine):
+    blocks = spark.read.parquet(engine.paths.blocks)
+    pdf = blocks.limit(200).toPandas()
+    assert len(pdf) > 0
+    for row in pdf.itertuples(index=False):
+        docs = vb.delta_decode(row.docs_vb, base=row.first_doc)
+        tfs = vb.decode(row.tfs_vb)
+        dls = vb.decode(row.dls_vb)
+        assert len(docs) == row.n <= spimi.BLOCK_SIZE
+        assert docs[0] == row.first_doc and docs[-1] == row.last_doc
+        # strictly ascending within block (python ints: int64 diff overflows)
+        dl_ = docs.tolist()
+        assert all(a < b for a, b in zip(dl_, dl_[1:]))
+        assert len(tfs) == len(dls) == len(docs)
+        assert (tfs >= 1).all() and (dls >= 1).all()
+
+
+def test_index_stats_match_native(spark, engine, tiny_corpus):
+    """Index-derived df/N/avgdl == native-DataFrame-derived values."""
+    n_docs, avgdl = spimi.load_scalars(spark, engine.paths)
+    n2, avg2 = bm25.corpus_scalars(tiny_corpus)
+    assert n_docs == n2 and abs(avgdl - avg2) < 1e-12
+    ts_idx = {
+        r["term"]: r["df"]
+        for r in spark.read.parquet(engine.paths.termstats).collect()
+    }
+    ts_nat = {
+        r["term"]: r["df"]
+        for r in bm25.term_stats(bm25.postings(tiny_corpus)).collect()
+    }
+    assert ts_idx == ts_nat
+
+
+def test_bmw_equals_exhaustive_and_oracle(spark, engine, tiny_corpus,
+                                          tiny_queries):
+    rows = tiny_corpus.select("doc_id", "content").collect()
+    oracle = BM25Oracle([r["doc_id"] for r in rows],
+                        [r["content"] for r in rows])
+    queries = {r["query_id"]: r["query"] for r in tiny_queries.collect()}
+
+    got_bmw = engine.search(tiny_queries, k=10, mode="bmw").collect()
+    got_exh = engine.search(tiny_queries, k=10, mode="exhaustive").collect()
+
+    def by_q(rows):
+        d = {}
+        for r in rows:
+            d.setdefault(r["query_id"], []).append(r)
+        return {q: sorted(v, key=lambda r: r["rank"]) for q, v in d.items()}
+
+    b, e = by_q(got_bmw), by_q(got_exh)
+    assert set(b) == set(e)
+    for qid, qtext in queries.items():
+        expected = oracle.topk(qtext, k=10)
+        for got in (b.get(qid, []), e.get(qid, [])):
+            assert [r["doc_id"] for r in got] == [d for d, _ in expected], (
+                f"mismatch for query {qid}: {qtext!r}"
+            )
+            for r, (_, s) in zip(got, expected):
+                assert r["score"] == pytest.approx(s, abs=1e-9)
+
+
+def test_skewed_head_term_query(spark, engine, tiny_corpus):
+    """The head term (in ~50% of docs) — the skew fixture — must still be
+    exact through the block-skipping path."""
+    rows = tiny_corpus.select("doc_id", "content").collect()
+    oracle = BM25Oracle([r["doc_id"] for r in rows],
+                        [r["content"] for r in rows])
+    q = spark.createDataFrame([(0, "common_util")],
+                              "query_id long, query string")
+    got = sorted(engine.search(q, k=10).collect(), key=lambda r: r["rank"])
+    expected = oracle.topk("common_util", k=10)
+    assert [r["doc_id"] for r in got] == [d for d, _ in expected]
+
+
+def test_wand_kernel_direct():
+    """Kernel unit test: random postings, WAND group == brute force."""
+    rng = np.random.default_rng(7)
+    n_docs = 400
+    avgdl = 50.0
+    rows = []
+    truth: dict[int, float] = {}
+    for term_i, idf in enumerate([0.3, 1.1, 2.7]):
+        docs = np.sort(rng.choice(10**6, size=rng.integers(50, 300),
+                                  replace=False))
+        tfs = rng.integers(1, 8, size=len(docs))
+        dls = rng.integers(20, 120, size=len(docs))
+        sat = tfs * 2.2 / (tfs + 1.2 * (1 - 0.75 + 0.75 * dls / avgdl))
+        for d, s in zip(docs, idf * sat):
+            truth[int(d)] = truth.get(int(d), 0.0) + float(s)
+        for bi, off in enumerate(range(0, len(docs), 128)):
+            hi = min(off + 128, len(docs))
+            rows.append(
+                {
+                    "query_id": 0,
+                    "shard_id": 0,
+                    "term": f"t{term_i}",
+                    "idf": idf,
+                    "block_id": bi,
+                    "first_doc": int(docs[off]),
+                    "last_doc": int(docs[hi - 1]),
+                    "n": hi - off,
+                    "docs_vb": vb.delta_encode(docs[off:hi], int(docs[off])),
+                    "tfs_vb": vb.encode(tfs[off:hi]),
+                    "dls_vb": vb.encode(dls[off:hi]),
+                    "max_tfsat": float(sat[off:hi].max()),
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    out = bmw.wand_topk_group(pdf, k=10, avgdl=avgdl)
+    expected = sorted(truth.items(), key=lambda t: (-t[1], t[0]))[:10]
+    assert list(out["doc_id"]) == [d for d, _ in expected]
+    np.testing.assert_allclose(
+        out["score"], [s for _, s in expected], atol=1e-12
+    )
+
+
+def test_checkpoint_resume(spark, tiny_corpus):
+    """Kill-after-partial semantics: drop some shards from a built index,
+    resume, and the result is equivalent to a full build."""
+    import os
+
+    path = "/tmp/test_index_resume"
+    shutil.rmtree(path, ignore_errors=True)
+    spimi.build_index(spark, tiny_corpus, path, n_shards=8)
+    full_blocks = sorted(
+        (r["shard_id"], r["term"], r["block_id"], bytes(r["docs_vb"]))
+        for r in spark.read.parquet(f"{path}/blocks").collect()
+    )
+    # simulate failure: remove shards 5..7 from blocks and manifest
+    for s in (5, 6, 7):
+        shutil.rmtree(f"{path}/blocks/shard_id={s}", ignore_errors=True)
+    m = spark.read.parquet(f"{path}/manifest").where(F.col("shard_id") < 5)
+    m.toPandas().to_parquet("/tmp/manifest_part.parquet")
+    shutil.rmtree(f"{path}/manifest")
+    os.makedirs(f"{path}/manifest")
+    shutil.copy("/tmp/manifest_part.parquet",
+                f"{path}/manifest/part-0.parquet")
+
+    spimi.build_index(spark, tiny_corpus, path, n_shards=8, resume=True)
+    resumed_blocks = sorted(
+        (r["shard_id"], r["term"], r["block_id"], bytes(r["docs_vb"]))
+        for r in spark.read.parquet(f"{path}/blocks").collect()
+    )
+    assert resumed_blocks == full_blocks
+    manifest = spark.read.parquet(f"{path}/manifest")
+    assert manifest.where(F.col("status") == "ok").count() == 8
+
+
+def test_manifest_lineage_invariant(spark, engine, tiny_corpus):
+    """sha256_xor in the manifest equals the generator-side xor of
+    sha256(content) per shard (input_hint per-row invariant)."""
+    import hashlib
+
+    rows = tiny_corpus.select("doc_id", "content").collect()
+    man = {r["shard_id"]: r for r in
+           spark.read.parquet(engine.paths.manifest).collect()}
+    # recompute shard assignment + xor in python via spark xxhash (pull
+    # shard ids from docstats to avoid reimplementing xxhash64)
+    ds = spark.read.parquet(engine.paths.docstats).select(
+        "doc_id", "shard_id").collect()
+    shard_of = {r["doc_id"]: r["shard_id"] for r in ds}
+    expect: dict[int, int] = {}
+    count: dict[int, int] = {}
+    for r in rows:
+        h = hashlib.sha256(r["content"].encode()).hexdigest()
+        v = int(h[:15], 16)
+        s = shard_of[r["doc_id"]]
+        expect[s] = expect.get(s, 0) ^ v
+        count[s] = count.get(s, 0) + 1
+    for s, m in man.items():
+        assert m["n_docs"] == count[s]
+        assert m["sha256_xor"] == expect[s]
+
+
+def test_two_stage_rank(spark, engine, tiny_corpus, tiny_queries):
+    """Full pipeline: BM25 top-50 → rerank (overlap scorer) → top-5."""
+    out = engine.rank(tiny_queries, tiny_corpus, first_k=50, final_k=5)
+    pdf = out.toPandas()
+    assert set(pdf.columns) == {"query_id", "doc_id", "bm25_score", "score",
+                                "rank"}
+    assert (pdf["rank"] <= 5).all()
+    assert pdf.groupby("query_id")["rank"].min().eq(1).all()
