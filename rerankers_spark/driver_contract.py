@@ -14,12 +14,13 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rerankers_spark.corpus import documents_as_corpus
+from rerankers_spark.functions import textstats
 from rerankers_spark.functions.tokenize import tokenize_col
-from rerankers_spark.operators import bm25
+from rerankers_spark.operators import ann, bm25, dedup
 from rerankers_spark.operators.topk import topk
 
 # Fixed reference query set over the driver `documents` table (its
@@ -189,6 +190,248 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             "rank")
 
 
+# -- dedup / similarity / text-analysis entries -------------------------------
+
+_SQL_SHINGLES = f"""
+toksd AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+shing AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+     for i in range(1, len(toks) - 1)] ELSE [] END) AS shingle
+  FROM toksd)
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_signatures(d)
+
+
+def _sql_minhash() -> str:
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {dedup.P_MOD})::BIGINT AS mh{i}"
+        for i, (a, b) in enumerate(
+            dedup.perm_params(i) for i in range(dedup.N_PERM))
+    )
+    return f"""
+WITH {_SQL_SHINGLES},
+hashed AS (SELECT doc_id,
+  ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {dedup.P_MOD} AS h
+  FROM shing)
+SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash32(d)
+
+
+def _sql_simhash() -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN ((h >> {j}) & 1) = 1 THEN tf ELSE -tf END) AS s{j}"
+        for j in range(32)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32)
+    )
+    return f"""
+WITH toksd AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM
+       (SELECT doc_id, unnest(toks) AS term FROM toksd) GROUP BY 1, 2),
+hashed AS (SELECT doc_id, tf,
+  ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tf),
+bitsums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+SELECT doc_id, ({bits})::BIGINT AS simhash FROM bitsums
+"""
+
+
+def q_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar pairs by 3-gram Jaccard (deterministic:
+    jaccard is an exact int ratio, tie-break (doc_a, doc_b))."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.ngram_jaccard_pairs(d, min_common=1)
+    w = Window.orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("doc_a", "doc_b", "n_common",
+                F.round("jaccard", 6).alias("jaccard"), "rank")
+    )
+
+
+_SQL_NGRAM_JACCARD = f"""
+WITH {_SQL_SHINGLES},
+dsh AS (SELECT DISTINCT doc_id, shingle FROM shing),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM dsh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+  FROM dsh a JOIN dsh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+jac AS (
+  SELECT doc_a, doc_b, n_common,
+         n_common::DOUBLE / (na.n_sh + nb.n_sh - n_common) AS jaccard
+  FROM common
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b)
+SELECT doc_a, doc_b, n_common, round(jaccard, 6) AS jaccard, rank FROM (
+  SELECT *, row_number() OVER (ORDER BY jaccard DESC, doc_a, doc_b) AS rank
+  FROM jac) WHERE rank <= 20
+"""
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.fingerprint(d)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.lang_id(d)
+
+
+def _sql_lang_id() -> str:
+    langs = sorted(textstats.LANG_STOPWORDS)
+    hit_cols = ", ".join(
+        "len(list_filter(toks, t -> t IN ("
+        + ", ".join(f"'{w}'" for w in textstats.LANG_STOPWORDS[lang])
+        + f"))) AS hits_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH toksd AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+hits AS (SELECT doc_id, {hit_cols} FROM toksd)
+SELECT doc_id, {case} AS pred_lang FROM hits
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.quality_score(d)
+
+
+def _sql_quality() -> str:
+    stop = ", ".join(f"'{w}'" for w in textstats.LANG_STOPWORDS["en"])
+    return f"""
+WITH toksd AS (SELECT doc_id, length(text)::BIGINT AS n_chars,
+                      {_SQL_TOKS} AS toks FROM documents),
+base AS (SELECT doc_id, n_chars,
+  len(toks)::BIGINT AS n_tokens,
+  len(list_filter(toks, t -> t IN ({stop})))::BIGINT AS n_stop,
+  list_reduce(list_prepend(0, [length(t)::BIGINT for t in toks]),
+              (a, b) -> a + b) AS sum_token_len
+  FROM toksd)
+SELECT doc_id, n_chars, n_tokens,
+  round(sum_token_len / n_tokens, 4) AS avg_token_len,
+  round(n_stop / n_tokens, 4) AS stopword_ratio,
+  round(least(n_tokens / 100.0, 1.0) * 0.5
+        + least((n_stop / n_tokens) * 10.0, 1.0) * 0.5, 4) AS quality
+FROM base
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.token_counts(d)
+
+
+_SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(text, ' +'),
+      t -> length(t) > 0))::BIGINT AS ws_tokens,
+  len({_SQL_TOKS})::BIGINT AS re_tokens,
+  ceil(length(text) / 4.0)::BIGINT AS approx_bpe_tokens
+FROM documents
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = ann.with_double_vec(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_vec_id"), "vec")
+    return ann.cosine_topk(q, e, k=10)
+
+
+_SQL_ANN = """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+i AS (SELECT vec_id, embedding::DOUBLE[] AS iv FROM embeddings),
+s AS (SELECT q.qid AS query_vec_id, i.vec_id,
+        round(list_dot_product(qv, iv)
+          / (sqrt(list_dot_product(qv, qv))
+             * sqrt(list_dot_product(iv, iv))), 6) AS cosine
+      FROM q JOIN i ON i.vec_id <> q.qid)
+SELECT query_vec_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_vec_id
+            ORDER BY cosine DESC, vec_id ASC) AS rank FROM s)
+WHERE rank <= 10
+"""
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        e.select("label", F.posexplode(
+            F.col("embedding").cast("array<double>")).alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("centroid"))
+    )
+
+
+_SQL_CENTROIDS = """
+WITH exploded AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings)
+SELECT label, dim, round(avg(v), 6) AS centroid
+FROM exploded GROUP BY 1, 2
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"),
+                          "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        )
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+_SQL_EVENTS_HOURLY = """
+SELECT event_type, strftime(date_trunc('hour', ts),
+       '%Y-%m-%d %H:%M:%S') AS hour,
+       count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_semi_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    with_orders = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    return with_orders.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"))
+
+
+def q_anti_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    no_orders = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return no_orders.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"))
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "bm25_topk": (q_bm25_topk, _SQL_BM25_TOPK),
     "term_frequencies": (
@@ -232,6 +475,32 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
         "round(avg(l_quantity), 4) AS avg_qty, "
         "count(*)::BIGINT AS count_order "
         "FROM lineitem GROUP BY 1, 2",
+    ),
+    "minhash_signatures": (q_minhash_signatures, _sql_minhash()),
+    "simhash": (q_simhash, _sql_simhash()),
+    "ngram_jaccard_topk": (q_ngram_jaccard_topk, _SQL_NGRAM_JACCARD),
+    "dedup_fingerprint": (
+        q_dedup_fingerprint,
+        f"SELECT doc_id, md5(array_to_string({_SQL_TOKS}, ' ')) AS fp "
+        "FROM documents",
+    ),
+    "lang_id": (q_lang_id, _sql_lang_id()),
+    "quality_score": (q_quality_score, _sql_quality()),
+    "token_counts": (q_token_counts, _SQL_TOKEN_COUNTS),
+    "ann_cosine_topk": (q_ann_cosine_topk, _SQL_ANN),
+    "embedding_centroids": (q_embedding_centroids, _SQL_CENTROIDS),
+    "events_hourly": (q_events_hourly, _SQL_EVENTS_HOURLY),
+    "semi_join_segments": (
+        q_semi_join_segments,
+        "SELECT c_mktsegment, count(*)::BIGINT AS n_customers FROM customer "
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
+        "GROUP BY 1",
+    ),
+    "anti_join_segments": (
+        q_anti_join_segments,
+        "SELECT c_mktsegment, count(*)::BIGINT AS n_customers FROM customer "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
+        "GROUP BY 1",
     ),
     "top_customers": (
         q_top_customers,

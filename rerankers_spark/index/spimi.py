@@ -55,7 +55,8 @@ BLOCK_SIZE = 128
 
 BLOCKS_SCHEMA = (
     "shard_id int, term string, block_id int, first_doc long, last_doc long, "
-    "n int, docs_vb binary, tfs_vb binary, dls_vb binary, max_tfsat double"
+    "n int, docs_vb binary, tfs_vb binary, dls_vb binary, max_tfsat double, "
+    "max_tf long, min_dl long"
 )
 
 MANIFEST_SCHEMA = (
@@ -79,7 +80,7 @@ def _build_shard_blocks(
     pandas, vectorized; runs inside applyInPandas."""
     out = {k: [] for k in ("shard_id", "term", "block_id", "first_doc",
                            "last_doc", "n", "docs_vb", "tfs_vb", "dls_vb",
-                           "max_tfsat")}
+                           "max_tfsat", "max_tf", "min_dl")}
     if len(pdf) == 0:
         return pd.DataFrame(out)
     shard_id = int(pdf["shard_id"].iloc[0])
@@ -109,7 +110,14 @@ def _build_shard_blocks(
             out["docs_vb"].append(vb.delta_encode(d, base=int(d[0])))
             out["tfs_vb"].append(vb.encode(t))
             out["dls_vb"].append(vb.encode(ln))
+            # exact max for the build-time avgdl, plus (max_tf, min_dl)
+            # for an avgdl-independent bound: tf_sat is increasing in tf
+            # and decreasing in dl, so sat(max_tf, min_dl, any_avgdl)
+            # upper-bounds every posting — needed after incremental
+            # appends shift the global avgdl (streaming/ingest.py).
             out["max_tfsat"].append(float(sat.max()))
+            out["max_tf"].append(int(t.max()))
+            out["min_dl"].append(int(ln.min()))
     return pd.DataFrame(out)
 
 
@@ -178,9 +186,7 @@ def build_index(
     row = docstats.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")
                        ).collect()[0]
     n_docs, avgdl = int(row["n"]), float(row["avgdl"])
-    spark.createDataFrame(
-        [(n_docs, avgdl)], "n_docs long, avgdl double"
-    ).coalesce(1).write.mode("overwrite").parquet(paths.scalars)
+    _write_scalars(spark, paths, n_docs, avgdl, n_shards, generation=0)
 
     # ---- postings for not-yet-done shards ----------------------------------
     todo = corpus.where(~F.col("shard_id").isin(list(done))) if done else corpus
@@ -241,6 +247,100 @@ def build_index(
     return paths
 
 
+def _write_scalars(spark: SparkSession, paths: IndexPaths, n_docs: int,
+                   avgdl: float, n_shards: int, generation: int) -> None:
+    spark.createDataFrame(
+        [(n_docs, avgdl, n_shards, generation)],
+        "n_docs long, avgdl double, n_shards int, generation int",
+    ).coalesce(1).write.mode("overwrite").parquet(paths.scalars)
+
+
 def load_scalars(spark: SparkSession, paths: IndexPaths) -> tuple[int, float]:
     r = spark.read.parquet(paths.scalars).collect()[0]
     return int(r["n_docs"]), float(r["avgdl"])
+
+
+def load_meta(spark: SparkSession, paths: IndexPaths) -> dict:
+    r = spark.read.parquet(paths.scalars).collect()[0]
+    return r.asDict()
+
+
+def append_index(
+    spark: SparkSession,
+    new_corpus: DataFrame,
+    path: str,
+) -> IndexPaths:
+    """Incremental append: NEW docs become a new index generation.
+
+    Generation g's shards get ids ``g * n_shards + pmod(xxhash64(doc_id),
+    n_shards)`` — still doc-disjoint from every earlier generation, so
+    the query path needs no merge logic: a generation is just more
+    shards. Global stats (N, avgdl, df) are recomputed over the union;
+    OLD blocks' ``max_tfsat`` was computed under the old avgdl and is now
+    stale, which is why query-time bounds switch to the avgdl-independent
+    (max_tf, min_dl) form once generation > 0 (see bmw.block_bounds).
+    """
+    paths = IndexPaths(path)
+    meta = load_meta(spark, paths)
+    n_shards = int(meta["n_shards"])
+    gen = int(meta["generation"]) + 1
+
+    new_corpus = new_corpus.withColumn(
+        "shard_id",
+        (F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)) + gen * n_shards)
+        .cast("int"),
+    )
+    dt = new_corpus.select(
+        "doc_id", "shard_id", "content_sha256",
+        F.size(
+            F.filter(
+                F.split(F.lower("content"), "[^a-z0-9_]+"),
+                lambda t: (F.length(t) > 0) & (F.length(t) <= 64),
+            )
+        ).alias("dl"),
+    )
+    dt.write.mode("append").parquet(paths.docstats)
+    docstats = spark.read.parquet(paths.docstats)
+    row = docstats.agg(F.count("*").alias("n"),
+                       F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["avgdl"])
+
+    p = (
+        bm25.doc_tokens(new_corpus.select("doc_id", "content"))
+        .withColumn(
+            "shard_id",
+            (F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)) + gen * n_shards)
+            .cast("int"),
+        )
+        .select("shard_id", "doc_id", "dl", F.explode("tokens").alias("term"))
+        .groupBy("shard_id", "term", "doc_id", "dl")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    blocks = p.groupBy("shard_id").applyInPandas(
+        lambda pdf: _build_shard_blocks(pdf, avgdl), BLOCKS_SCHEMA
+    )
+    blocks.write.partitionBy("shard_id").mode("append").parquet(paths.blocks)
+
+    all_blocks = spark.read.parquet(paths.blocks)
+    all_blocks.groupBy("term").agg(
+        F.sum("n").cast("long").alias("df")
+    ).write.mode("overwrite").parquet(paths.termstats)
+    _write_scalars(spark, paths, n_docs, avgdl, n_shards, generation=gen)
+
+    new_manifest = dt.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        F.expr(
+            "bit_xor(cast(conv(substring(content_sha256,1,15),16,10) "
+            "as bigint))"
+        ).alias("sha256_xor"),
+    ).select(
+        "shard_id", "n_docs",
+        F.lit(None).cast("long").alias("n_postings"),
+        F.lit(None).cast("long").alias("n_blocks"),
+        "sum_dl", "sha256_xor",
+        F.lit("ok").alias("status"), F.lit(0.0).alias("wall_time"),
+    ).select("shard_id", "n_docs", "n_postings", "n_blocks", "sum_dl",
+             "sha256_xor", "status", "wall_time")
+    new_manifest.write.mode("append").parquet(paths.manifest)
+    return paths

@@ -1,0 +1,226 @@
+"""Similarity search over embedding columns (array<float>).
+
+* :func:`cosine_topk` — exact brute-force cosine top-k, fully native
+  (``zip_with`` dot product + window top-k). The correctness baseline.
+* :func:`lsh_cosine_topk` — random-hyperplane LSH bucketing: candidates
+  only from matching buckets (multi-probe over H hash tables), then exact
+  re-scoring. The scale path: at 100 TB the cross join is impossible;
+  bucket join shuffles only colliding pairs.
+* :func:`ivf_assign` / :func:`ivf_topk` — IVF coarse quantization against
+  a (broadcast) centroid table: probe the nprobe nearest centroids only.
+
+Everything is float64 column math inside codegen — no UDFs — so plans
+survive scale-up and DuckDB can mirror the exact semantics for oracles.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rerankers_spark.operators.topk import topk
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def with_double_vec(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("vec", F.col(vec_col).cast("array<double>"))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    items: DataFrame,
+    k: int = 10,
+    query_id: str = "query_vec_id",
+    item_id: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """(query_vec_id, vec_id, cosine, rank): exact top-k by cosine.
+
+    queries: (query_vec_id, vec) with vec array<double>;
+    items: (vec_id, vec). Self-matches excluded when ids collide.
+    The query side broadcasts; the item scan never shuffles.
+    """
+    q = queries.select(F.col(query_id), F.col("vec").alias("qvec"))
+    it = items.select(F.col(item_id), F.col("vec").alias("ivec"))
+    joined = it.crossJoin(F.broadcast(q)).where(
+        F.col(query_id) != F.col(item_id)
+    )
+    cos = _dot(F.col("qvec"), F.col("ivec")) / (
+        _norm(F.col("qvec")) * _norm(F.col("ivec"))
+    )
+    scored = joined.select(
+        query_id, item_id, F.round(cos, round_to).alias("cosine")
+    )
+    return topk(scored, k, partition_cols=(query_id,),
+                score_col="cosine", id_col=item_id)
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no numpy RNG state needed
+    at query time; same table on driver and in SQL oracles)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_signature(df: DataFrame, planes: list[list[float]],
+                  vec_col: str = "vec") -> DataFrame:
+    """Adds ``sig`` — sign-bit signature over the hyperplanes."""
+    bits = []
+    for j, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(
+            F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(1 << j))
+            .otherwise(0)
+        )
+    return df.withColumn("sig", sum(bits).cast("long"))
+
+
+def lsh_cosine_topk(
+    queries: DataFrame,
+    items: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    query_id: str = "query_vec_id",
+    item_id: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k: exact re-scoring over same-bucket
+    candidates only. Recall < 1 by design; the exactness contract lives
+    in cosine_topk."""
+    planes = hyperplanes(dim, n_planes)
+    qs = lsh_signature(
+        queries.select(query_id, F.col("vec").alias("qvec")), planes, "qvec"
+    )
+    its = lsh_signature(
+        items.select(item_id, F.col("vec").alias("ivec")), planes, "ivec"
+    )
+    cand = its.join(F.broadcast(qs), "sig").where(
+        F.col(query_id) != F.col(item_id)
+    )
+    cos = _dot(F.col("qvec"), F.col("ivec")) / (
+        _norm(F.col("qvec")) * _norm(F.col("ivec"))
+    )
+    scored = cand.select(
+        query_id, item_id, F.round(cos, 6).alias("cosine")
+    )
+    return topk(scored, k, partition_cols=(query_id,),
+                score_col="cosine", id_col=item_id)
+
+
+def kmeans_centroids(items: DataFrame, n_centroids: int = 16,
+                     n_iter: int = 5, vec_col: str = "vec",
+                     dim: int = 64) -> list[list[float]]:
+    """Tiny Lloyd's k-means on the driver over a sample — centroids are a
+    broadcast-sized model (IVF coarse quantizer), deterministic seed."""
+    import numpy as np
+
+    sample = np.array(
+        items.select(vec_col).limit(4096).toPandas()[vec_col].tolist()
+    )
+    rng = np.random.default_rng(42)
+    cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)),
+                              replace=False)]
+    for _ in range(n_iter):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                cents[c] = sample[m].mean(0)
+    return cents.tolist()
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]],
+               vec_col: str = "vec") -> DataFrame:
+    """Adds ``cell`` — nearest-centroid id (L2), computed natively."""
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in centroids
+    ]
+    arr = F.array(*dists)
+    cell = F.array_position(arr, F.array_min(arr)) - 1
+    return df.withColumn("cell", cell.cast("int"))
+
+
+def ivf_topk(
+    queries: DataFrame,
+    items: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    query_id: str = "query_vec_id",
+    item_id: str = "vec_id",
+) -> DataFrame:
+    """IVF-style ANN: items pre-assigned to cells; each query probes its
+    nprobe nearest cells, exact cosine within."""
+    its = ivf_assign(
+        items.select(item_id, F.col("vec").alias("ivec")), centroids, "ivec"
+    )
+    dists = [
+        (
+            i,
+            F.aggregate(
+                F.zip_with(
+                    F.col("qvec"),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    cells = F.slice(
+        F.expr(
+            "transform(array_sort(arrays_zip(dists, cells), "
+            "(l, r) -> case when l.dists < r.dists then -1 "
+            "when l.dists > r.dists then 1 else 0 end), x -> x.cells)"
+        ),
+        1,
+        nprobe,
+    )
+    qs = (
+        queries.select(query_id, F.col("vec").alias("qvec"))
+        .withColumn("dists", F.array(*[d for _, d in dists]))
+        .withColumn("cells", F.array(*[F.lit(i) for i, _ in dists]))
+        .withColumn("probe_cells", cells)
+        .select(query_id, "qvec",
+                F.explode("probe_cells").alias("cell"))
+    )
+    cand = its.join(F.broadcast(qs), "cell").where(
+        F.col(query_id) != F.col(item_id)
+    )
+    cos = _dot(F.col("qvec"), F.col("ivec")) / (
+        _norm(F.col("qvec")) * _norm(F.col("ivec"))
+    )
+    scored = cand.select(
+        query_id, item_id, F.round(cos, 6).alias("cosine")
+    ).dropDuplicates([query_id, item_id])
+    return topk(scored, k, partition_cols=(query_id,),
+                score_col="cosine", id_col=item_id)

@@ -44,12 +44,24 @@ class _TermData:
                  "docs_vb", "tfs_vb", "dls_vb", "nblocks", "max_sat",
                  "_cache")
 
-    def __init__(self, term: str, g: pd.DataFrame):
+    def __init__(self, term: str, g: pd.DataFrame, avgdl: float | None = None,
+                 bound_mode: str = "exact"):
         g = g.sort_values("block_id")
         self.term = term
         self.block_first = g["first_doc"].to_numpy(dtype=np.int64)
         self.block_last = g["last_doc"].to_numpy(dtype=np.int64)
-        self.block_max = g["max_tfsat"].to_numpy(dtype=np.float64)
+        if bound_mode == "exact":
+            # max_tfsat is exact for the avgdl the block was built with
+            self.block_max = g["max_tfsat"].to_numpy(dtype=np.float64)
+        else:
+            # append-safe bound: tf_sat is increasing in tf, decreasing in
+            # dl → sat(max_tf, min_dl, CURRENT avgdl) bounds every posting
+            # even after incremental appends shifted avgdl (spimi.append_index)
+            mt = g["max_tf"].to_numpy(dtype=np.float64)
+            md = g["min_dl"].to_numpy(dtype=np.float64)
+            self.block_max = (mt * (bm25.K1 + 1.0)) / (
+                mt + bm25.K1 * (1.0 - bm25.B + bm25.B * md / float(avgdl))
+            )
         self.docs_vb = g["docs_vb"].to_list()
         self.tfs_vb = g["tfs_vb"].to_list()
         self.dls_vb = g["dls_vb"].to_list()
@@ -246,6 +258,7 @@ def wand_topk_shard(
     queries: list[tuple[int, list[tuple[str, float]]]],
     k: int,
     avgdl: float,
+    bound_mode: str = "exact",
 ) -> pd.DataFrame:
     """One shard's blocks (ALL query terms, deduplicated) + the full query
     list → per-query local top-k.
@@ -255,7 +268,8 @@ def wand_topk_shard(
     many queries touch the same head term.
     """
     terms: dict[str, _TermData] = {
-        str(term): _TermData(str(term), g) for term, g in pdf.groupby("term")
+        str(term): _TermData(str(term), g, avgdl, bound_mode)
+        for term, g in pdf.groupby("term")
     }
     qids, docs, scores = [], [], []
     for query_id, q_terms in queries:
@@ -297,8 +311,19 @@ def bmw_topk(
     queries: DataFrame,
     paths: IndexPaths,
     k: int = 10,
+    bound_mode: str | None = None,
 ) -> DataFrame:
-    """(query_id, doc_id, score, rank): exact BM25 top-k via BMW."""
+    """(query_id, doc_id, score, rank): exact BM25 top-k via BMW.
+
+    bound_mode: 'exact' uses build-time max_tfsat (tightest skipping);
+    'safe' derives bounds from (max_tf, min_dl) and the CURRENT avgdl —
+    required after append_index generations. None → auto from index meta.
+    """
+    from rerankers_spark.index.spimi import load_meta
+
+    if bound_mode is None:
+        bound_mode = ("safe" if int(load_meta(spark, paths)
+                                    .get("generation", 0)) > 0 else "exact")
     n_docs, avgdl = load_scalars(spark, paths)
     qt = query_terms_with_idf(spark, queries, paths, n_docs)
     # The query set is driver-small by construction (it is the other side
@@ -315,7 +340,7 @@ def bmw_topk(
         )
     blocks = spark.read.parquet(paths.blocks).where(F.col("term").isin(terms))
     local = blocks.groupBy("shard_id").applyInPandas(
-        lambda pdf: wand_topk_shard(pdf, q_list, k, avgdl),
+        lambda pdf: wand_topk_shard(pdf, q_list, k, avgdl, bound_mode),
         "query_id long, doc_id long, score double",
     )
     return topk(local, k)

@@ -1,0 +1,58 @@
+"""Storage layer: parquet now, Iceberg when the runtime jar is present.
+
+BASELINE.json mandates "Iceberg tables"; this sandbox's pyspark 4.1.2 has
+no iceberg-spark-runtime jar and no network, so storage goes behind this
+thin interface (SURVEY.md §7 risk note): identical schema/partitioning
+either way, and `table()`/`write_table()` switch to a real Iceberg
+catalog transparently when `spark.sql.catalog.*` is configured.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, DataFrameWriter, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class Catalog:
+    """Resolves logical table names to Iceberg tables or parquet paths."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 catalog_name: str | None = None):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.catalog_name = (
+            catalog_name if catalog_name and iceberg_available(spark)
+            else None
+        )
+
+    def _path(self, name: str) -> str:
+        return f"{self.root}/{name}"
+
+    def table(self, name: str) -> DataFrame:
+        if self.catalog_name:
+            return self.spark.table(f"{self.catalog_name}.{name}")
+        return self.spark.read.parquet(self._path(name))
+
+    def writer(self, df: DataFrame, name: str, mode: str = "overwrite",
+               partition_by: list[str] | None = None):
+        w: DataFrameWriter = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        return w
+
+    def write_table(self, df: DataFrame, name: str, mode: str = "overwrite",
+                    partition_by: list[str] | None = None) -> None:
+        w = self.writer(df, name, mode, partition_by)
+        if self.catalog_name:
+            w.saveAsTable(f"{self.catalog_name}.{name}")
+        else:
+            w.parquet(self._path(name))

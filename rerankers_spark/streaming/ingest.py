@@ -1,0 +1,100 @@
+"""Structured Streaming: incremental corpus ingest + streaming analytics.
+
+The reference has no streaming at all (SURVEY.md §2B); these are the
+Spark-native extensions a continuously-growing corpus needs:
+
+* :func:`stream_index_appends` — file-source stream of new corpus rows →
+  ``foreachBatch`` → :func:`spimi.append_index`. Each micro-batch becomes
+  a new index generation (doc-disjoint shards), so query code is
+  unchanged and BM25 stays exact under the updated global stats (the
+  bmw 'safe' bound mode). checkpointLocation gives exactly-once batches.
+* :func:`streaming_doc_stats` — running token/doc counts with watermark.
+* :func:`windowed_event_counts` — event-time windows + watermark for
+  late data over an events stream (the classic pattern, used by tests
+  with Trigger.AvailableNow for determinism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rerankers_spark.functions.tokenize import tokenize_col
+from rerankers_spark.index import spimi
+
+CORPUS_STREAM_SCHEMA = (
+    "repo string, path string, commit string, lang string, content string"
+)
+
+
+def read_corpus_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of corpus rows (json lines per file)."""
+    return (
+        spark.readStream.schema(CORPUS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .json(input_dir)
+    )
+
+
+def stream_index_appends(
+    spark: SparkSession,
+    input_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+):
+    """Returns a StreamingQuery appending each micro-batch to the index.
+
+    Use ``.trigger(availableNow=True)`` semantics via start+await in
+    tests; in production this runs continuously and each batch is one
+    index generation.
+    """
+    stream = read_corpus_stream(spark, input_dir)
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        corpus = batch_df.withColumn(
+            "doc_id", F.xxhash64("repo", "path", "commit")
+        ).withColumn("content_sha256", F.sha2(F.col("content"), 256))
+        spimi.append_index(spark, corpus, index_path)
+
+    return (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_doc_stats(stream: DataFrame) -> DataFrame:
+    """Running per-lang doc/token counts over a corpus stream."""
+    return (
+        stream.withColumn("n_tokens", F.size(tokenize_col("content")))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time windowed counts with a watermark: late rows inside the
+    watermark still update their window; older ones are dropped."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n", "sum_value",
+        )
+    )

@@ -1,0 +1,139 @@
+"""ANN similarity search + text-analysis functions."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rerankers_spark.functions import textstats
+from rerankers_spark.operators import ann
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((40, 8))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # planted near-neighbor: vec 40 ≈ vec 0
+    rows.append((40, [float(x) + 0.001 for x in base[0]]))
+    return spark.createDataFrame(rows, "vec_id long, vec array<double>")
+
+
+def _np_cosine_topk(rows, qid, k):
+    import numpy as _np
+
+    vecs = {i: _np.array(v) for i, v in rows}
+    q = vecs[qid]
+    scored = []
+    for i, v in vecs.items():
+        if i == qid:
+            continue
+        c = float(q @ v / (_np.linalg.norm(q) * _np.linalg.norm(v)))
+        scored.append((i, round(c, 6)))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return scored[:k]
+
+
+def test_cosine_topk_exact(spark, vectors):
+    rows = [(r["vec_id"], r["vec"]) for r in vectors.collect()]
+    queries = vectors.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_vec_id"), "vec"
+    )
+    got = ann.cosine_topk(queries, vectors, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_vec_id"], []).append(r)
+    for qid in (0, 1, 2):
+        expect = _np_cosine_topk(rows, qid, 5)
+        actual = sorted(by_q[qid], key=lambda r: r["rank"])
+        assert [r["vec_id"] for r in actual] == [i for i, _ in expect]
+        for r, (_, c) in zip(actual, expect):
+            assert r["cosine"] == pytest.approx(c, abs=1e-6)
+
+
+def test_cosine_topk_finds_planted_neighbor(spark, vectors):
+    q = vectors.where(F.col("vec_id") == 40).select(
+        F.col("vec_id").alias("query_vec_id"), "vec"
+    )
+    top1 = ann.cosine_topk(q, vectors, k=1).collect()[0]
+    assert top1["vec_id"] == 0
+    assert top1["cosine"] > 0.999
+
+
+def test_lsh_recall_on_planted_neighbor(spark, vectors):
+    """LSH is approximate, but a 0.999-cosine pair lands in the same
+    bucket with near-certainty for 8 hyperplanes."""
+    q = vectors.where(F.col("vec_id") == 40).select(
+        F.col("vec_id").alias("query_vec_id"), "vec"
+    )
+    got = ann.lsh_cosine_topk(q, vectors, k=3, n_planes=8, dim=8).collect()
+    assert any(r["vec_id"] == 0 for r in got)
+
+
+def test_ivf_topk_planted_neighbor(spark, vectors):
+    cents = ann.kmeans_centroids(vectors, n_centroids=4, dim=8)
+    q = vectors.where(F.col("vec_id") == 40).select(
+        F.col("vec_id").alias("query_vec_id"), "vec"
+    )
+    got = ann.ivf_topk(q, vectors, cents, k=3, nprobe=2).collect()
+    assert any(r["vec_id"] == 0 for r in got)
+
+
+def test_ann_plans_native(spark, vectors):
+    q = vectors.limit(1).select(F.col("vec_id").alias("query_vec_id"), "vec")
+    plan = ann.cosine_topk(q, vectors, k=3)._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---- text stats -------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def text_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog in a field"),
+            (2, "el perro y el gato de la casa que los vio"),
+            (3, "xyzzy qwerty asdf"),
+            (4, "the the the a a of and to in is"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_lang_id(text_docs):
+    out = {r["doc_id"]: r["pred_lang"]
+           for r in textstats.lang_id(text_docs).collect()}
+    assert out[1] == "en"
+    assert out[2] == "es"
+    assert out[3] == "und"
+
+
+def test_quality_score(text_docs):
+    out = {r["doc_id"]: r for r in
+           textstats.quality_score(text_docs).collect()}
+    assert out[4]["stopword_ratio"] == 1.0
+    assert out[3]["stopword_ratio"] == 0.0
+    assert 0 < out[1]["quality"] <= 1.0
+    assert out[1]["n_tokens"] == 12
+
+
+def test_token_counts(text_docs):
+    out = {r["doc_id"]: r for r in
+           textstats.token_counts(text_docs).collect()}
+    assert out[3]["ws_tokens"] == 3
+    assert out[3]["re_tokens"] == 3
+    assert out[3]["approx_bpe_tokens"] == math.ceil(len("xyzzy qwerty asdf") / 4)
+
+
+def test_fingerprint_normalizes(spark):
+    d = spark.createDataFrame(
+        [(1, "Hello,  World!"), (2, "hello world"), (3, "HELLO-WORLD")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fp"] for r in textstats.fingerprint(d).collect()}
+    assert fps[1] == fps[2] == fps[3]

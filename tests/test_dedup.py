@@ -1,0 +1,109 @@
+"""Deduplication operators: planted near-duplicates must be found; hash
+math must match the portable (md5-based) reference computation."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from rerankers_spark.functions.tokenize import tokenize_py
+from rerankers_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "def merge_sort(arr): return sorted(arr) # stable merge sort "
+        "implementation with extensive docstring text for shingling "
+        "purposes and enough tokens to make minhash meaningful overall"
+    )
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("stable", "unstable")),  # near dup
+        (4, "completely different content about spark window functions "
+            "and streaming watermarks with late data handling semantics "
+            "plus checkpoint recovery notes for structured streaming"),
+        (5, "short text"),
+        (6, base + " trailing extra tokens appended here"),  # near dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["content_md5"]: r for r in dedup.exact_dedup(docs).collect()}
+    dup_groups = [r for r in out.values() if r["n_copies"] > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups[0]["keep_doc_id"] == 1
+    assert dup_groups[0]["n_copies"] == 2
+
+
+def test_minhash_portable_hash_matches_python(spark, docs):
+    """Spark's md5-derived hash == python reference on raw shingles."""
+    sh = dedup.doc_shingles(docs).where(F.col("doc_id") == 1).collect()
+    assert len(sh) > 10
+    got = (
+        docs.where(F.col("doc_id") == 1)
+        .select(dedup._portable_hash(F.lit(sh[0]["shingle"])).alias("h"))
+        .collect()[0]["h"]
+    )
+    expect = int(hashlib.md5(sh[0]["shingle"].encode()).hexdigest()[:15], 16)
+    assert got == expect
+
+
+def test_minhash_signature_matches_python(docs):
+    sigs = {r["doc_id"]: [r[f"mh{i}"] for i in range(dedup.N_PERM)]
+            for r in dedup.minhash_signatures(docs).collect()}
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for doc_id, text in rows.items():
+        toks = tokenize_py(text)
+        shingles = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        if not shingles:
+            assert doc_id not in sigs
+            continue
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+              % dedup.P_MOD for s in shingles]
+        for i in range(dedup.N_PERM):
+            a, b = dedup.perm_params(i)
+            assert sigs[doc_id][i] == min((a * h + b) % dedup.P_MOD
+                                          for h in hs)
+
+
+def test_lsh_finds_exact_and_near_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r
+             for r in dedup.lsh_candidate_pairs(docs).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)]["est_jaccard"] == 1.0
+    # near-dups share most shingles → should collide on >=1 band
+    assert (1, 6) in pairs or (1, 3) in pairs
+
+
+def test_simhash_identical_docs_equal(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash32(docs).collect()}
+    assert sh[1] == sh[2]
+    assert 0 <= sh[1] < (1 << 32)
+
+
+def test_simhash_near_pairs(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dedup.simhash_near_pairs(docs, max_hamming=8).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 4) not in pairs  # unrelated docs must not be near
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r
+             for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    assert pairs[(1, 2)]["jaccard"] == pytest.approx(1.0)
+    assert pairs[(1, 6)]["jaccard"] > 0.5
+    assert (1, 4) not in pairs
+
+
+def test_dedup_plans_are_jvm_side(docs):
+    for df in (dedup.exact_dedup(docs), dedup.minhash_signatures(docs),
+               dedup.simhash32(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan  # fully native, not even Arrow
