@@ -190,6 +190,33 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             "rank")
 
 
+def q_bm25_topk_bmw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME fixed query set answered through the FULL index path:
+    SPIMI block build → block-max WAND → global top-k. Shares the DuckDB
+    oracle with the exhaustive query, putting the compressed index and
+    the WAND kernel under the driver's correctness gate.
+
+    Searches k=20 raw, then re-ranks on the rounded score (cross-engine
+    determinism, see _SQL_BM25_TOPK note) and cuts to 10.
+    """
+    import os
+    import shutil
+
+    from rerankers_spark.index.spimi import build_index
+    from rerankers_spark.query import bmw as bmw_mod
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    idx = f"/tmp/contract_index_{tag}"
+    shutil.rmtree(idx, ignore_errors=True)
+    paths = build_index(spark, corpus, idx, n_shards=8)
+    raw = bmw_mod.bmw_topk(spark, _queries_df(spark), paths, k=20)
+    rounded = raw.select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
+    )
+    return topk(rounded, 10).select("query_id", "doc_id", "rank", "score")
+
+
 # -- dedup / similarity / text-analysis entries -------------------------------
 
 _SQL_SHINGLES = f"""
@@ -278,6 +305,108 @@ SELECT doc_a, doc_b, n_common, round(jaccard, 6) AS jaccard, rank FROM (
   SELECT *, row_number() OVER (ORDER BY jaccard DESC, doc_a, doc_b) AS rank
   FROM jac) WHERE rank <= 20
 """
+
+
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.lsh_candidate_pairs(d)
+
+
+def _sql_lsh_pairs() -> str:
+    rows_per_band = dedup.N_PERM // dedup.N_BANDS
+    band_selects = []
+    for band in range(dedup.N_BANDS):
+        cols = [f"mh{band * rows_per_band + r}" for r in range(rows_per_band)]
+        key = " || '_' || ".join(f"{c}::VARCHAR" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band, md5({key}) AS band_key FROM mh"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    eq = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(dedup.N_PERM)
+    )
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {dedup.P_MOD})::BIGINT AS mh{i}"
+        for i, (a, b) in enumerate(
+            dedup.perm_params(i) for i in range(dedup.N_PERM))
+    )
+    return f"""
+WITH {_SQL_SHINGLES},
+hashed AS (SELECT doc_id,
+  ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {dedup.P_MOD} AS h
+  FROM shing),
+mh AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+bands AS ({bands}),
+sized AS (SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bn
+          FROM bands),
+filt AS (SELECT * FROM sized WHERE bn <= 1000),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*)::BIGINT AS n_bands_matched
+  FROM filt a JOIN filt b USING (band, band_key)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b, p.n_bands_matched,
+       ({eq}) / {float(dedup.N_PERM)} AS est_jaccard
+FROM pairs p
+JOIN mh sa ON sa.doc_id = p.doc_a
+JOIN mh sb ON sb.doc_id = p.doc_b
+"""
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash_near_pairs(d, max_hamming=3).select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _sql_simhash_pairs() -> str:
+    return f"""
+WITH sims AS ({_sql_simhash()}),
+bands AS (
+  SELECT doc_id, simhash, b.band,
+         (simhash >> (b.band * 8)) & 255 AS band_key
+  FROM sims, (VALUES (0), (1), (2), (3)) b(band)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b USING (band, band_key)
+  WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, bit_count(xor(sa, sb))::INT AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (rows-only check: recall<1 by design, no exact
+    SQL oracle)."""
+    e = ann.with_double_vec(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_vec_id"), "vec")
+    return ann.lsh_cosine_topk(q, e, k=10, n_planes=8, dim=64)
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (rows-only: centroids from driver-side k-means)."""
+    e = ann.with_double_vec(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    cents = ann.kmeans_centroids(e, n_centroids=8, dim=64)
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_vec_id"), "vec")
+    return ann.ivf_topk(q, e, cents, k=10, nprobe=3)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction (rows-only: stubbed decoder;
+    deterministic synthetic media, sf_dir unused)."""
+    from rerankers_spark.sources import multimodal
+
+    media = multimodal.synthetic_media(spark, 24)
+    return multimodal.extract_features(media).select(
+        "doc_id", "media_type", "n_bytes", "payload_sha256", "decoder"
+    )
 
 
 def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -476,6 +605,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
         "count(*)::BIGINT AS count_order "
         "FROM lineitem GROUP BY 1, 2",
     ),
+    "bm25_topk_bmw": (q_bm25_topk_bmw, _SQL_BM25_TOPK),
+    "lsh_candidate_pairs": (q_lsh_candidate_pairs, _sql_lsh_pairs()),
+    "simhash_near_pairs": (q_simhash_near_pairs, _sql_simhash_pairs()),
+    "lsh_ann_topk": (q_lsh_ann_topk, None),
+    "ivf_ann_topk": (q_ivf_ann_topk, None),
+    "multimodal_features": (q_multimodal_features, None),
     "minhash_signatures": (q_minhash_signatures, _sql_minhash()),
     "simhash": (q_simhash, _sql_simhash()),
     "ngram_jaccard_topk": (q_ngram_jaccard_topk, _SQL_NGRAM_JACCARD),

@@ -48,6 +48,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rerankers_spark.functions.tokenize import tokenize_pandas_udf
 from rerankers_spark.index import varbyte as vb
 from rerankers_spark.operators import bm25
 
@@ -71,6 +72,60 @@ def _tf_sat(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
     return (tf * (bm25.K1 + 1.0)) / (
         tf + bm25.K1 * (1.0 - bm25.B + bm25.B * dl / avgdl)
     )
+
+
+POSTINGS_SCHEMA = "shard_id int, term string, doc_id long, dl long, tf long"
+
+
+def _postings_map(batches):
+    """content → (shard, term, doc_id, dl, tf) rows, fused in ONE Arrow
+    stage: tf is complete per (term, doc) because a doc lives in one row,
+    so the wide explode→groupBy shuffle of the declarative formulation
+    (bm25.postings) is unnecessary for the BUILD — postings go straight
+    into the single shard shuffle. (SPIMI's per-partition in-memory
+    inversion, Arrow-batched.)"""
+    import re
+    from collections import Counter
+
+    from rerankers_spark.functions.tokenize import (
+        MAX_TOKEN_LEN,
+        TOKEN_SPLIT_RE,
+    )
+
+    splitter = re.compile(TOKEN_SPLIT_RE)
+    for pdf in batches:
+        doc_ids, shards, terms, dls, tfs = [], [], [], [], []
+        for doc_id, shard, content in zip(
+            pdf["doc_id"], pdf["shard_id"], pdf["content"]
+        ):
+            toks = [
+                t
+                for t in splitter.split((content or "").lower())
+                if t and len(t) <= MAX_TOKEN_LEN
+            ]
+            dl = len(toks)
+            for term, tf in Counter(toks).items():
+                doc_ids.append(doc_id)
+                shards.append(shard)
+                terms.append(term)
+                dls.append(dl)
+                tfs.append(tf)
+        yield pd.DataFrame(
+            {
+                "shard_id": np.array(shards, dtype=np.int32),
+                "term": terms,
+                "doc_id": np.array(doc_ids, dtype=np.int64),
+                "dl": np.array(dls, dtype=np.int64),
+                "tf": np.array(tfs, dtype=np.int64),
+            }
+        )
+
+
+def corpus_postings_arrow(corpus_with_shard: DataFrame) -> DataFrame:
+    """(shard_id, term, doc_id, dl, tf) via the fused Arrow stage."""
+    return corpus_with_shard.select(
+        "doc_id", "shard_id", "content"
+    ).mapInPandas(_postings_map, POSTINGS_SCHEMA)
 
 
 def _build_shard_blocks(
@@ -166,6 +221,14 @@ def build_index(
             .collect()
         }
 
+    # Spread the tokenize/explode work across the cluster regardless of the
+    # input file layout: a handful of big parquet files would otherwise pin
+    # the whole scan to a few tasks (observed: 1 file → 1-core tokenize).
+    # At 100 TB the input has thousands of files and this is a cheap no-op
+    # round-robin; locally it is the difference between 1 and N cores.
+    width = max(n_shards, spark.sparkContext.defaultParallelism)
+    corpus = corpus.repartition(width)
+
     corpus = corpus.withColumn(
         "shard_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
     )
@@ -173,12 +236,7 @@ def build_index(
     # ---- global stats (full corpus, independent of resume state) ----------
     dt = corpus.select(
         "doc_id", "shard_id", "content_sha256",
-        F.size(
-            F.filter(
-                F.split(F.lower("content"), "[^a-z0-9_]+"),
-                lambda t: (F.length(t) > 0) & (F.length(t) <= 64),
-            )
-        ).alias("dl"),
+        F.size(tokenize_pandas_udf(F.col("content"))).alias("dl"),
     )
     if not (resume and os.path.exists(paths.docstats)):
         dt.write.mode("overwrite").parquet(paths.docstats)
@@ -190,16 +248,7 @@ def build_index(
 
     # ---- postings for not-yet-done shards ----------------------------------
     todo = corpus.where(~F.col("shard_id").isin(list(done))) if done else corpus
-    p = (
-        bm25.doc_tokens(todo.select("doc_id", "content"))
-        .withColumn(
-            "shard_id",
-            F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int"),
-        )
-        .select("shard_id", "doc_id", "dl", F.explode("tokens").alias("term"))
-        .groupBy("shard_id", "term", "doc_id", "dl")
-        .agg(F.count("*").cast("long").alias("tf"))
-    )
+    p = corpus_postings_arrow(todo)
 
     t0 = time.time()
     blocks = p.groupBy("shard_id").applyInPandas(
@@ -285,19 +334,15 @@ def append_index(
     n_shards = int(meta["n_shards"])
     gen = int(meta["generation"]) + 1
 
-    new_corpus = new_corpus.withColumn(
+    width = max(n_shards, spark.sparkContext.defaultParallelism)
+    new_corpus = new_corpus.repartition(width).withColumn(
         "shard_id",
         (F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)) + gen * n_shards)
         .cast("int"),
     )
     dt = new_corpus.select(
         "doc_id", "shard_id", "content_sha256",
-        F.size(
-            F.filter(
-                F.split(F.lower("content"), "[^a-z0-9_]+"),
-                lambda t: (F.length(t) > 0) & (F.length(t) <= 64),
-            )
-        ).alias("dl"),
+        F.size(tokenize_pandas_udf(F.col("content"))).alias("dl"),
     )
     dt.write.mode("append").parquet(paths.docstats)
     docstats = spark.read.parquet(paths.docstats)
@@ -305,17 +350,7 @@ def append_index(
                        F.avg("dl").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(row["n"]), float(row["avgdl"])
 
-    p = (
-        bm25.doc_tokens(new_corpus.select("doc_id", "content"))
-        .withColumn(
-            "shard_id",
-            (F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)) + gen * n_shards)
-            .cast("int"),
-        )
-        .select("shard_id", "doc_id", "dl", F.explode("tokens").alias("term"))
-        .groupBy("shard_id", "term", "doc_id", "dl")
-        .agg(F.count("*").cast("long").alias("tf"))
-    )
+    p = corpus_postings_arrow(new_corpus)
     blocks = p.groupBy("shard_id").applyInPandas(
         lambda pdf: _build_shard_blocks(pdf, avgdl), BLOCKS_SCHEMA
     )

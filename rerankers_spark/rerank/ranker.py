@@ -126,6 +126,27 @@ def _cross_encoder_scorer():
     return score
 
 
+# Model-family × lang → concrete default, analog of the reference's
+# DEFAULTS table + _get_defaults (reranker.py:7-52, 171-194). Families
+# resolve to in-sandbox scorers; model-backed names keep their HF ids so
+# a torch-equipped deployment loads the real checkpoint.
+DEFAULTS: dict[str, dict[str, str]] = {
+    "stub": {"en": "stub", "other": "stub"},
+    "overlap": {"en": "overlap", "other": "overlap"},
+    "cross-encoder": {
+        "en": "mixedbread-ai/mxbai-rerank-base-v1",
+        "other": "corrius/cross-encoder-mmarco-mMiniLMv2-L12-H384-v1",
+    },
+}
+
+
+def get_defaults(family: str, lang: str = "en") -> str:
+    """Family+lang → concrete model name (reference reranker.py:171-194:
+    unknown lang falls back to the 'other' entry)."""
+    table = DEFAULTS[family]
+    return table.get(lang, table["other"])
+
+
 # Keyword → scorer-type mapping, analog of reference reranker.py:92-169.
 _MODEL_TYPE_KEYWORDS = [
     ("stub", "stub"),
@@ -207,9 +228,13 @@ class Reranker:
         self,
         model_name: str = "stub",
         model_type: Optional[str] = None,
+        lang: str = "en",
         spark: Optional[SparkSession] = None,
         verbose: int = 1,
     ) -> None:
+        if model_name in DEFAULTS:
+            # family name → lang-specific default (reference reranker.py:223)
+            model_name = get_defaults(model_name, lang)
         self.model_name = model_name
         self.model_type = _get_model_type(model_name, model_type)
         if self.model_type not in AVAILABLE_SCORERS:
