@@ -49,8 +49,13 @@ def synthetic_queryset(spark, n=50):
 
 
 def run(sf_dir: str, cpus: int, index_root: str = "/tmp/bench_index"):
+    # The JOB must be identical across parallelism levels for the scaling
+    # comparison to be meaningful: shard count and shuffle width are fixed
+    # (64 = 2x the max core count), only the executor-thread count varies.
+    # Driver heap is sized for local mode (all executors share one JVM).
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
     spark = get_spark("rerankers-spark-bench", master=f"local[{cpus}]",
-                      shuffle_partitions=max(cpus, 16))
+                      shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
 
@@ -61,7 +66,7 @@ def run(sf_dir: str, cpus: int, index_root: str = "/tmp/bench_index"):
 
     t0 = time.perf_counter()
     engine = Engine.build(spark, corpus, index_path,
-                          n_shards=max(cpus, 16), scorer="overlap")
+                          n_shards=64, scorer="overlap")
     timings["q_index_build"] = time.perf_counter() - t0
 
     q50 = synthetic_queryset(spark, 50)

@@ -131,49 +131,78 @@ def corpus_postings_arrow(corpus_with_shard: DataFrame) -> DataFrame:
 def _build_shard_blocks(
     pdf: pd.DataFrame, avgdl: float
 ) -> pd.DataFrame:
-    """One shard's (term, doc_id, tf, dl) rows → block rows. Pure numpy /
-    pandas, vectorized; runs inside applyInPandas."""
-    out = {k: [] for k in ("shard_id", "term", "block_id", "first_doc",
-                           "last_doc", "n", "docs_vb", "tfs_vb", "dls_vb",
-                           "max_tfsat", "max_tf", "min_dl")}
+    """One shard's (term, doc_id, tf, dl) rows → block rows.
+
+    Fully vectorized across the whole shard: block boundaries, per-block
+    aggregates (reduceat) and the three varbyte streams are each ONE
+    numpy pass; per-block work is just byte-slicing. (The earlier
+    per-block formulation made ~8 tiny numpy calls per block — 3M calls
+    per 50k-doc build — and dominated build wall time.)"""
+    cols = ("shard_id", "term", "block_id", "first_doc", "last_doc", "n",
+            "docs_vb", "tfs_vb", "dls_vb", "max_tfsat", "max_tf", "min_dl")
     if len(pdf) == 0:
-        return pd.DataFrame(out)
+        return pd.DataFrame({k: [] for k in cols})
     shard_id = int(pdf["shard_id"].iloc[0])
     pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
     terms = pdf["term"].to_numpy()
     docs = pdf["doc_id"].to_numpy(dtype=np.int64)
     tfs = pdf["tf"].to_numpy(dtype=np.int64)
     dls = pdf["dl"].to_numpy(dtype=np.int64)
-    # term run boundaries
-    change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
-    starts = np.concatenate(([0], change))
-    ends = np.concatenate((change, [len(terms)]))
-    for s, e in zip(starts, ends):
-        term = terms[s]
-        for bi, off in enumerate(range(s, e, BLOCK_SIZE)):
-            hi = min(off + BLOCK_SIZE, e)
-            d = docs[off:hi]
-            t = tfs[off:hi]
-            ln = dls[off:hi]
-            sat = _tf_sat(t, ln, avgdl)
-            out["shard_id"].append(shard_id)
-            out["term"].append(term)
-            out["block_id"].append(bi)
-            out["first_doc"].append(int(d[0]))
-            out["last_doc"].append(int(d[-1]))
-            out["n"].append(int(hi - off))
-            out["docs_vb"].append(vb.delta_encode(d, base=int(d[0])))
-            out["tfs_vb"].append(vb.encode(t))
-            out["dls_vb"].append(vb.encode(ln))
+    n = len(docs)
+
+    # term-run + block boundaries (block = 128 postings within a run)
+    new_term = np.ones(n, dtype=bool)
+    new_term[1:] = terms[1:] != terms[:-1]
+    run_id = np.cumsum(new_term) - 1
+    run_start = np.flatnonzero(new_term)
+    pos_in_run = np.arange(n, dtype=np.int64) - run_start[run_id]
+    new_block = new_term | (pos_in_run % BLOCK_SIZE == 0)
+    bstart = np.flatnonzero(new_block)
+    bend = np.append(bstart[1:], n)
+
+    # per-block aggregates in single reduceat passes
+    sat = _tf_sat(tfs, dls, avgdl)
+    max_tfsat = np.maximum.reduceat(sat, bstart)
+    max_tf = np.maximum.reduceat(tfs, bstart)
+    min_dl = np.minimum.reduceat(dls, bstart)
+    first_doc = docs[bstart]
+    last_doc = docs[bend - 1]
+
+    # doc-id deltas (biased uint64; anchor = block's first doc → delta 0)
+    u = docs.astype(np.uint64) ^ (np.uint64(1) << np.uint64(63))
+    prev = np.empty_like(u)
+    prev[1:] = u[:-1]
+    prev[bstart] = u[bstart]
+    d_buf, d_len = vb.encode_with_lengths(u - prev)
+    t_buf, t_len = vb.encode_with_lengths(tfs)
+    l_buf, l_len = vb.encode_with_lengths(dls)
+
+    def _slices(buf: bytes, lens: np.ndarray) -> list[bytes]:
+        ends = np.cumsum(lens)
+        v_end = ends[bend - 1]
+        v_start = ends[bstart] - lens[bstart]
+        return [buf[a:b] for a, b in zip(v_start, v_end)]
+
+    return pd.DataFrame(
+        {
+            "shard_id": np.full(len(bstart), shard_id, dtype=np.int32),
+            "term": terms[bstart],
+            "block_id": (pos_in_run[bstart] // BLOCK_SIZE).astype(np.int32),
+            "first_doc": first_doc,
+            "last_doc": last_doc,
+            "n": (bend - bstart).astype(np.int32),
+            "docs_vb": _slices(d_buf, d_len),
+            "tfs_vb": _slices(t_buf, t_len),
+            "dls_vb": _slices(l_buf, l_len),
             # exact max for the build-time avgdl, plus (max_tf, min_dl)
-            # for an avgdl-independent bound: tf_sat is increasing in tf
-            # and decreasing in dl, so sat(max_tf, min_dl, any_avgdl)
-            # upper-bounds every posting — needed after incremental
-            # appends shift the global avgdl (streaming/ingest.py).
-            out["max_tfsat"].append(float(sat.max()))
-            out["max_tf"].append(int(t.max()))
-            out["min_dl"].append(int(ln.min()))
-    return pd.DataFrame(out)
+            # for an avgdl-independent bound (tf_sat increases in tf,
+            # decreases in dl) — needed after incremental appends shift
+            # the global avgdl (streaming/ingest.py).
+            "max_tfsat": max_tfsat,
+            "max_tf": max_tf,
+            "min_dl": min_dl,
+        }
+    )
 
 
 def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -22,9 +22,16 @@ _CONT = 0x80
 
 def encode(values: np.ndarray) -> bytes:
     """Varbyte-encode a non-negative int64 array."""
+    return encode_with_lengths(values)[0]
+
+
+def encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """(buffer, per-value byte lengths). The lengths let callers slice a
+    single whole-array encoding into per-block byte ranges (the block
+    builder encodes one shard in one call instead of one call per block)."""
     vals = np.asarray(values, dtype=np.uint64)
     if vals.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     if np.asarray(values).min() < 0:
         raise ValueError("varbyte requires non-negative values")
     # vectorized byte-length: ceil(bit_length/7), min 1
@@ -52,7 +59,7 @@ def encode(values: np.ndarray) -> bytes:
         more = (plane + 1) < bl[sel]
         out[idx] = chunk | (more.astype(np.uint8) << 7)
         v[sel] >>= np.uint64(7)
-    return out.tobytes()
+    return out.tobytes(), bl
 
 
 def decode(buf: bytes) -> np.ndarray:

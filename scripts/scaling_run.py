@@ -19,27 +19,48 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(cpus: int, sf_dir: str, repeats: int = 2) -> dict:
-    best: dict | None = None
+def _wait_for_quiet(max_wait: int = 600, threshold: float = 2.0) -> None:
+    """The sandbox shares a host; external IO-wait spikes poison timing
+    comparisons. Wait for 1-min loadavg to settle before each sample."""
+    import time
+
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
+        with open("/proc/loadavg") as f:
+            load1 = float(f.read().split()[0])
+        if load1 < threshold:
+            return
+        time.sleep(15)
+
+
+def _one(cpus: int, sf_dir: str) -> dict:
+    _wait_for_quiet()
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus),
+             "SPARK_GRAFT_SF_DIR": sf_dir},
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def run_levels(lo: int, hi: int, sf_dir: str, repeats: int = 3
+               ) -> tuple[dict, dict]:
+    """Alternating samples (lo, hi, lo, hi, ...) so ambient load affects
+    both levels symmetrically; best-of-N per level."""
+    best: dict[int, dict] = {}
     for _ in range(repeats):
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus),
-                 "SPARK_GRAFT_SF_DIR": sf_dir},
-            capture_output=True, text=True, check=True,
-        )
-        r = json.loads(out.stdout.strip().splitlines()[-1])
-        if best is None or r["value"] < best["value"]:
-            best = r
-    assert best is not None
-    return best
+        for cpus in (lo, hi):
+            r = _one(cpus, sf_dir)
+            if cpus not in best or r["value"] < best[cpus]["value"]:
+                best[cpus] = r
+    return best[lo], best[hi]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     lo, hi = 8, 32
-    r_lo = run_level(lo, sf_dir)
-    r_hi = run_level(hi, sf_dir)
+    r_lo, r_hi = run_levels(lo, hi, sf_dir)
 
     def eff(metric: str) -> tuple[float, float, float]:
         a, b = r_lo[metric], r_hi[metric]
