@@ -53,7 +53,15 @@ def run(sf_dir: str, cpus: int, index_root: str = "/tmp/bench_index"):
     # comparison to be meaningful: shard count and shuffle width are fixed
     # (64 = 2x the max core count), only the executor-thread count varies.
     # Driver heap is sized for local mode (all executors share one JVM).
+    # BENCH_RAMDISK=1 puts shuffle + index on /dev/shm: this sandbox's
+    # shared virtio disk has external IO contention that otherwise
+    # bottlenecks every parallelism level identically, masking compute
+    # scaling (a real cluster's disks scale with executors).
     os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    if os.environ.get("BENCH_RAMDISK") == "1":
+        os.makedirs("/dev/shm/spark_local", exist_ok=True)
+        os.environ.setdefault("SPARK_LOCAL_DIR", "/dev/shm/spark_local")
+        index_root = "/dev/shm/bench_index"
     spark = get_spark("rerankers-spark-bench", master=f"local[{cpus}]",
                       shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
@@ -69,7 +77,8 @@ def run(sf_dir: str, cpus: int, index_root: str = "/tmp/bench_index"):
                           n_shards=64, scorer="overlap")
     timings["q_index_build"] = time.perf_counter() - t0
 
-    q50 = synthetic_queryset(spark, 50)
+    n_queries = int(os.environ.get("BENCH_QUERIES", 50))
+    q50 = synthetic_queryset(spark, n_queries)
 
     t0 = time.perf_counter()
     n_bmw = engine.search(q50, k=10, mode="bmw").count()
@@ -87,8 +96,9 @@ def run(sf_dir: str, cpus: int, index_root: str = "/tmp/bench_index"):
         "n_docs": n_docs,
         "timings": timings,
         "docs_per_sec_index_build": n_docs / timings["q_index_build"],
-        "queries_per_sec_bmw": 50 / timings["q_bmw_queryset50"],
+        "queries_per_sec_bmw": n_queries / timings["q_bmw_queryset50"],
         "bmw_rows": n_bmw,
+        "n_queries": n_queries,
         "cpus": cpus,
     }
     spark.stop()

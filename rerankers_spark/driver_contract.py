@@ -414,6 +414,36 @@ def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(d)
 
 
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.winnowing_fingerprints(d)
+
+
+_SQL_WINNOWING = f"""
+WITH toksd AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+lists AS (
+  SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+     for i in range(1, len(toks) - 1)] ELSE [] END AS lst
+  FROM toksd),
+shingp AS (
+  SELECT doc_id, generate_subscripts(lst, 1) - 1 AS pos,
+         unnest(lst) AS shingle
+  FROM lists),
+hashed AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {dedup.P_MOD} AS h
+  FROM shingp),
+mins AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {dedup.WINNOW_W - 1}
+                      FOLLOWING) AS fp
+  FROM hashed)
+SELECT DISTINCT doc_id, fp FROM mins
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return textstats.lang_id(d)
@@ -619,6 +649,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
         f"SELECT doc_id, md5(array_to_string({_SQL_TOKS}, ' ')) AS fp "
         "FROM documents",
     ),
+    "winnowing_fingerprints": (q_winnowing_fingerprints, _SQL_WINNOWING),
     "lang_id": (q_lang_id, _sql_lang_id()),
     "quality_score": (q_quality_score, _sql_quality()),
     "token_counts": (q_token_counts, _SQL_TOKEN_COUNTS),

@@ -48,7 +48,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rerankers_spark.functions.tokenize import tokenize_pandas_udf
+from rerankers_spark.functions.tokenize import (
+    token_count_pandas_udf,
+    tokenize_pandas_udf,
+)
 from rerankers_spark.index import varbyte as vb
 from rerankers_spark.operators import bm25
 
@@ -265,14 +268,26 @@ def build_index(
     # ---- global stats (full corpus, independent of resume state) ----------
     dt = corpus.select(
         "doc_id", "shard_id", "content_sha256",
-        F.size(tokenize_pandas_udf(F.col("content"))).alias("dl"),
+        token_count_pandas_udf(F.col("content")).alias("dl"),
     )
     if not (resume and os.path.exists(paths.docstats)):
         dt.write.mode("overwrite").parquet(paths.docstats)
     docstats = spark.read.parquet(paths.docstats)
-    row = docstats.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")
-                       ).collect()[0]
-    n_docs, avgdl = int(row["n"]), float(row["avgdl"])
+    # one pass for scalars AND the per-shard manifest stats (the shard agg
+    # subsumes the global one — avoids a second docstats scan+job later)
+    shard_stats = docstats.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        F.expr(
+            "bit_xor(cast(conv(substring(content_sha256,1,15),16,10) "
+            "as bigint))"
+        ).alias("sha256_xor"),
+    ).cache()
+    totals = shard_stats.agg(
+        F.sum("n_docs").alias("n"),
+        (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
+    ).collect()[0]
+    n_docs, avgdl = int(totals["n"]), float(totals["avgdl"])
     _write_scalars(spark, paths, n_docs, avgdl, n_shards, generation=0)
 
     # ---- postings for not-yet-done shards ----------------------------------
@@ -290,24 +305,18 @@ def build_index(
         writer.mode("overwrite").parquet(paths.blocks)
     wall = time.time() - t0
 
-    # ---- termstats from the FULL block index (df = sum of block ns per
-    # term... n counts postings = one per doc → df) -------------------------
-    all_blocks = spark.read.parquet(paths.blocks)
-    ts = all_blocks.groupBy("term").agg(
+    # ---- termstats + manifest block stats: ONE narrow scan of the block
+    # metadata columns (term, n, shard_id — parquet prunes the binary
+    # payload columns), cached, two cheap aggs -------------------------------
+    all_blocks_meta = spark.read.parquet(paths.blocks).select(
+        "shard_id", "term", "n"
+    ).cache()
+    ts = all_blocks_meta.groupBy("term").agg(
         F.sum("n").cast("long").alias("df")
     )
     ts.write.mode("overwrite").parquet(paths.termstats)
 
-    # ---- manifest: per-shard lineage + metrics ------------------------------
-    shard_stats = docstats.groupBy("shard_id").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("dl").cast("long").alias("sum_dl"),
-        F.expr(
-            "bit_xor(cast(conv(substring(content_sha256,1,15),16,10) "
-            "as bigint))"
-        ).alias("sha256_xor"),
-    )
-    block_stats = all_blocks.groupBy("shard_id").agg(
+    block_stats = all_blocks_meta.groupBy("shard_id").agg(
         F.sum("n").cast("long").alias("n_postings"),
         F.count("*").alias("n_blocks"),
     )
@@ -322,6 +331,8 @@ def build_index(
         )
     )
     manifest.write.mode("overwrite").parquet(paths.manifest)
+    shard_stats.unpersist()
+    all_blocks_meta.unpersist()
     return paths
 
 
@@ -371,7 +382,7 @@ def append_index(
     )
     dt = new_corpus.select(
         "doc_id", "shard_id", "content_sha256",
-        F.size(tokenize_pandas_udf(F.col("content"))).alias("dl"),
+        token_count_pandas_udf(F.col("content")).alias("dl"),
     )
     dt.write.mode("append").parquet(paths.docstats)
     docstats = spark.read.parquet(paths.docstats)

@@ -223,6 +223,37 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     )
 
 
+WINNOW_W = 4
+
+
+def winnowing_fingerprints(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           window: int = WINNOW_W) -> DataFrame:
+    """(doc_id, fp): winnowing fingerprints (Schleimer et al., MOSS) —
+    rolling k-gram hash sequence → min hash per sliding window → distinct
+    mins. Robust to local edits: unchanged regions keep their
+    fingerprints, so near-dup docs share most fp values.
+
+    Pure window-function formulation (per-doc partitions are small, so
+    the window shuffle is doc-bounded at any corpus scale)."""
+    sh = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    tokenize_col(text_col).alias("tokens"))
+        .select("doc_id",
+                F.posexplode(shingles_col()).alias("pos", "shingle"))
+        .withColumn("h", _portable_hash(F.col("shingle")) % P_MOD)
+    )
+    w = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(0, window - 1)
+    )
+    return (
+        sh.withColumn("fp", F.min("h").over(w))
+        .select("doc_id", "fp")
+        .dropDuplicates(["doc_id", "fp"])
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
                         min_common: int = 1) -> DataFrame:

@@ -21,7 +21,6 @@ algorithmic skip-list, not a Catalyst concern. Correctness invariants:
 from __future__ import annotations
 
 import heapq
-from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -29,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rerankers_spark.index import varbyte as vb
-from rerankers_spark.index.spimi import IndexPaths, load_scalars
+from rerankers_spark.index.spimi import IndexPaths
 from rerankers_spark.operators import bm25
 from rerankers_spark.operators.topk import topk
 
@@ -294,15 +293,18 @@ def wand_topk_shard(
 
 
 def query_terms_with_idf(
-    spark: SparkSession, queries: DataFrame, paths: IndexPaths, n_docs: int
+    spark: SparkSession, queries: DataFrame, paths: IndexPaths, n_docs: int,
+    termstats: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, term, idf) for the query set — termstats is filtered to
     the query vocabulary BEFORE it is broadcast (semi-reduction), so the
     full vocab table never moves."""
     qt = bm25.query_terms(queries)
-    ts = spark.read.parquet(paths.termstats)
+    ts = termstats if termstats is not None \
+        else spark.read.parquet(paths.termstats)
     return qt.join(ts, "term", "inner").select(
-        "query_id", "term", bm25.idf_col(F.col("df"), n_docs).alias("idf")
+        "query_id", "term", bm25.idf_col(F.col("df"), n_docs).alias("idf"),
+        "df",
     )
 
 
@@ -312,20 +314,26 @@ def bmw_topk(
     paths: IndexPaths,
     k: int = 10,
     bound_mode: str | None = None,
+    meta: dict | None = None,
+    termstats: DataFrame | None = None,
+    blocks: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score, rank): exact BM25 top-k via BMW.
 
     bound_mode: 'exact' uses build-time max_tfsat (tightest skipping);
     'safe' derives bounds from (max_tf, min_dl) and the CURRENT avgdl —
     required after append_index generations. None → auto from index meta.
+    meta/termstats/blocks: pre-loaded handles (Engine caches them so
+    repeated searches skip the scalar-read jobs).
     """
     from rerankers_spark.index.spimi import load_meta
 
+    if meta is None:
+        meta = load_meta(spark, paths)
     if bound_mode is None:
-        bound_mode = ("safe" if int(load_meta(spark, paths)
-                                    .get("generation", 0)) > 0 else "exact")
-    n_docs, avgdl = load_scalars(spark, paths)
-    qt = query_terms_with_idf(spark, queries, paths, n_docs)
+        bound_mode = "safe" if int(meta.get("generation", 0)) > 0 else "exact"
+    n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
+    qt = query_terms_with_idf(spark, queries, paths, n_docs, termstats)
     # The query set is driver-small by construction (it is the other side
     # of a broadcast anyway); shipping it as a task closure lets one shard
     # group serve ALL queries without duplicating block bytes per query.
@@ -338,7 +346,9 @@ def bmw_topk(
         return spark.createDataFrame(
             [], "query_id long, doc_id long, score double, rank int"
         )
-    blocks = spark.read.parquet(paths.blocks).where(F.col("term").isin(terms))
+    if blocks is None:
+        blocks = spark.read.parquet(paths.blocks)
+    blocks = blocks.where(F.col("term").isin(terms))
     local = blocks.groupBy("shard_id").applyInPandas(
         lambda pdf: wand_topk_shard(pdf, q_list, k, avgdl, bound_mode),
         "query_id long, doc_id long, score double",

@@ -28,6 +28,26 @@ class Engine:
         self.spark = spark
         self.paths = IndexPaths(index_path)
         self.reranker = Reranker(scorer, spark=spark)
+        # lazily-cached index handles: repeated searches skip the
+        # scalar-read jobs and parquet re-listing (invalidated by
+        # refresh(), e.g. after append_index)
+        self._meta: dict | None = None
+        self._termstats = None
+        self._blocks = None
+
+    def refresh(self) -> None:
+        self._meta = None
+        self._termstats = None
+        self._blocks = None
+
+    def _handles(self):
+        from rerankers_spark.index.spimi import load_meta
+
+        if self._meta is None:
+            self._meta = load_meta(self.spark, self.paths)
+            self._termstats = self.spark.read.parquet(self.paths.termstats)
+            self._blocks = self.spark.read.parquet(self.paths.blocks)
+        return self._meta, self._termstats, self._blocks
 
     @classmethod
     def build(cls, spark: SparkSession, corpus: DataFrame, index_path: str,
@@ -39,18 +59,55 @@ class Engine:
 
     # -- first stage ----------------------------------------------------------
 
+    #: a query whose RAREST term still matches more than this fraction of
+    #: the corpus gets no skipping benefit from WAND (θ rises too slowly);
+    #: vectorized exhaustive decode wins there.
+    AUTO_DENSE_DF_RATIO = 0.10
+
     def search(self, queries: DataFrame, k: int = 10,
                mode: str = "bmw") -> DataFrame:
         """(query_id, doc_id, score, rank) — BM25 top-k.
 
-        mode='bmw' (block-skipping fast path) or 'exhaustive' (decode-all
-        oracle path); both are exact and rank-identical.
+        mode='bmw' (block-skipping fast path), 'exhaustive' (vectorized
+        decode-all path), or 'auto' (per-query cost-based routing on term
+        document frequency); all are exact and rank-identical.
         """
         if mode == "bmw":
-            return bmw.bmw_topk(self.spark, queries, self.paths, k=k)
+            meta, termstats, blocks = self._handles()
+            return bmw.bmw_topk(self.spark, queries, self.paths, k=k,
+                                meta=meta, termstats=termstats,
+                                blocks=blocks)
         if mode == "exhaustive":
             return self._exhaustive(queries, k)
+        if mode == "auto":
+            return self._auto(queries, k)
         raise ValueError(f"unknown mode {mode!r}")
+
+    def _auto(self, queries: DataFrame, k: int) -> DataFrame:
+        meta, termstats, blocks = self._handles()
+        n_docs = int(meta["n_docs"])
+        qt = bmw.query_terms_with_idf(
+            self.spark, queries, self.paths, n_docs, termstats)
+        sel = qt.groupBy("query_id").agg(F.min("df").alias("min_df")
+                                         ).collect()
+        dense = {r["query_id"] for r in sel
+                 if r["min_df"] / n_docs > self.AUTO_DENSE_DF_RATIO}
+        sparse_q = queries.where(~F.col("query_id").isin(list(dense))) \
+            if dense else queries
+        parts = []
+        if dense:
+            parts.append(
+                self._exhaustive(
+                    queries.where(F.col("query_id").isin(list(dense))), k)
+            )
+        parts.append(
+            bmw.bmw_topk(self.spark, sparse_q, self.paths, k=k, meta=meta,
+                         termstats=termstats, blocks=blocks)
+        )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _exhaustive(self, queries: DataFrame, k: int) -> DataFrame:
         """Score every posting of every query term (no skipping) by
@@ -105,6 +162,40 @@ class Engine:
             F.sum("contrib").alias("score")
         )
         return topk(scored, k)
+
+    # -- driver-side facade ----------------------------------------------------
+
+    def collect_ranked(self, result_df: DataFrame, queries: DataFrame,
+                       text_lookup: Optional[DataFrame] = None
+                       ) -> dict[int, "object"]:
+        """Distributed results → {query_id: RankedResults} (the reference's
+        return shape, rerankers/results.py:38-42). result_df needs
+        (query_id, doc_id, score, rank); text attaches when a
+        (doc_id, content) lookup is given."""
+        from rerankers_spark.results import Document, RankedResults, Result
+
+        if text_lookup is not None:
+            result_df = result_df.join(
+                text_lookup.select("doc_id",
+                                   F.col("content").alias("__text")),
+                "doc_id", "left",
+            )
+        qtext = {r["query_id"]: r["query"] for r in queries.collect()}
+        out: dict[int, RankedResults] = {}
+        rows = sorted(result_df.collect(),
+                      key=lambda r: (r["query_id"], r["rank"]))
+        for r in rows:
+            doc = Document(
+                text=r["__text"] if "__text" in r.__fields__ else "",
+                doc_id=r["doc_id"],
+            )
+            res = Result(document=doc, score=r["score"], rank=r["rank"])
+            qid = r["query_id"]
+            if qid not in out:
+                out[qid] = RankedResults([], query=qtext.get(qid, ""),
+                                         has_scores=True)
+            out[qid].results.append(res)
+        return out
 
     # -- two-stage pipeline ---------------------------------------------------
 

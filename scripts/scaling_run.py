@@ -19,7 +19,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _wait_for_quiet(max_wait: int = 600, threshold: float = 2.0) -> None:
+def _wait_for_quiet(max_wait: int = 240, threshold: float = 3.5) -> None:
     """The sandbox shares a host; external IO-wait spikes poison timing
     comparisons. Wait for 1-min loadavg to settle before each sample."""
     import time
@@ -59,7 +59,8 @@ def run_levels(lo: int, hi: int, sf_dir: str, repeats: int = 3
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    lo, hi = 8, 32
+    levels = os.environ.get("SCALING_LEVELS", "8,32")
+    lo, hi = (int(x) for x in levels.split(","))
     r_lo, r_hi = run_levels(lo, hi, sf_dir)
 
     def eff(metric: str) -> tuple[float, float, float]:
@@ -69,18 +70,18 @@ def main() -> None:
     idx = eff("docs_per_sec_index_build")
     qry = eff("queries_per_sec_bmw")
     lines = [
-        "# BENCH_SCALING — N vs 4N parallelism (local[8] vs local[32], "
-        f"sf_dir={sf_dir})",
+        f"# BENCH_SCALING — N vs 4N parallelism (local[{lo}] vs "
+        f"local[{hi}], sf_dir={sf_dir})",
         "",
-        "| metric | local[8] | local[32] | scaling efficiency |",
+        f"| metric | local[{lo}] | local[{hi}] | scaling efficiency |",
         "|---|---|---|---|",
         f"| index build (docs/sec) | {idx[0]:.1f} | {idx[1]:.1f} | "
         f"{idx[2]:.3f} |",
         f"| BMW query throughput (q/sec) | {qry[0]:.1f} | {qry[1]:.1f} | "
         f"{qry[2]:.3f} |",
         "",
-        f"raw local[8]: `{json.dumps(r_lo)}`",
-        f"raw local[32]: `{json.dumps(r_hi)}`",
+        f"raw local[{lo}]: `{json.dumps(r_lo)}`",
+        f"raw local[{hi}]: `{json.dumps(r_hi)}`",
         "",
         "Efficiency = (throughput_4N / throughput_N) / 4. North-rule "
         "target: >= 0.8 on the index-build metric.",

@@ -101,6 +101,41 @@ def test_ngram_jaccard(docs):
     assert (1, 4) not in pairs
 
 
+def test_winnowing_fingerprints(docs):
+    fps = {}
+    for r in dedup.winnowing_fingerprints(docs).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] == fps[2]  # identical docs → identical fingerprint sets
+    # near-dup (one word changed) shares most fingerprints
+    inter = len(fps[1] & fps[3])
+    union = len(fps[1] | fps[3])
+    assert inter / union > 0.5
+    # unrelated docs share almost nothing
+    assert len(fps[1] & fps[4]) / len(fps[1] | fps[4]) < 0.1
+
+
+def test_winnowing_matches_python(docs):
+    """Window-min formulation equals a direct python winnowing impl."""
+    import hashlib
+
+    from rerankers_spark.functions.tokenize import tokenize_py
+
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {}
+    for r in dedup.winnowing_fingerprints(docs).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for doc_id, text in rows.items():
+        toks = tokenize_py(text)
+        sh = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+              % dedup.P_MOD for s in sh]
+        expect = {min(hs[i:i + dedup.WINNOW_W]) for i in range(len(hs))}
+        if hs:
+            assert got[doc_id] == expect, doc_id
+        else:
+            assert doc_id not in got
+
+
 def test_dedup_plans_are_jvm_side(docs):
     for df in (dedup.exact_dedup(docs), dedup.minhash_signatures(docs),
                dedup.simhash32(docs)):

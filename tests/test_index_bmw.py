@@ -201,6 +201,36 @@ def test_manifest_lineage_invariant(spark, engine, tiny_corpus):
         assert m["sha256_xor"] == expect[s]
 
 
+def test_auto_mode_rank_identical(spark, engine, tiny_corpus, tiny_queries):
+    """mode='auto' (cost-based routing) must equal the BMW path exactly —
+    the tiny corpus mixes head-term (dense) and rare-term queries, so
+    both routes are exercised."""
+    a = sorted(
+        (r["query_id"], r["rank"], r["doc_id"])
+        for r in engine.search(tiny_queries, k=10, mode="auto").collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["doc_id"])
+        for r in engine.search(tiny_queries, k=10, mode="bmw").collect()
+    )
+    assert a == b
+
+
+def test_collect_ranked_facade(spark, engine, tiny_queries, tiny_corpus):
+    """Distributed results → reference RankedResults API shape."""
+    res = engine.search(tiny_queries.limit(3), k=5)
+    ranked = engine.collect_ranked(
+        res, tiny_queries.limit(3),
+        text_lookup=tiny_corpus.select("doc_id", "content"))
+    assert ranked
+    for qid, rr in ranked.items():
+        assert rr.has_scores
+        top = rr.top_k(2)
+        assert [t.rank for t in top] == list(range(1, len(top) + 1))
+        assert rr.get_score_by_docid(top[0].doc_id) == top[0].score
+        assert top[0].text  # text attached from lookup
+
+
 def test_two_stage_rank(spark, engine, tiny_corpus, tiny_queries):
     """Full pipeline: BM25 top-50 → rerank (overlap scorer) → top-5."""
     out = engine.rank(tiny_queries, tiny_corpus, first_k=50, final_k=5)

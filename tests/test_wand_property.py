@@ -1,0 +1,91 @@
+"""Property test: the WAND kernel equals brute force on randomized
+posting lists — many seeds, adversarial shapes (ties, singleton blocks,
+shared docs across all terms, extreme idf spreads)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rerankers_spark.index import varbyte as vb
+from rerankers_spark.query import bmw
+
+K1, B = 1.2, 0.75
+
+
+def _mk_blocks(rng, n_terms, doc_universe, avgdl, block_size=128):
+    rows, truth = [], {}
+    for ti in range(n_terms):
+        idf = float(rng.uniform(0.01, 5.0))
+        n_docs = int(rng.integers(1, min(400, len(doc_universe))))
+        docs = np.sort(rng.choice(doc_universe, size=n_docs, replace=False))
+        tfs = rng.integers(1, 6, size=n_docs)
+        dls = rng.integers(5, 200, size=n_docs)
+        sat = tfs * (K1 + 1) / (tfs + K1 * (1 - B + B * dls / avgdl))
+        for d, s in zip(docs, idf * sat):
+            truth[int(d)] = truth.get(int(d), 0.0) + float(s)
+        for bi, off in enumerate(range(0, n_docs, block_size)):
+            hi = min(off + block_size, n_docs)
+            rows.append({
+                "query_id": 0, "shard_id": 0, "term": f"t{ti}", "idf": idf,
+                "block_id": bi,
+                "first_doc": int(docs[off]), "last_doc": int(docs[hi - 1]),
+                "n": hi - off,
+                "docs_vb": vb.delta_encode(docs[off:hi], int(docs[off])),
+                "tfs_vb": vb.encode(tfs[off:hi]),
+                "dls_vb": vb.encode(dls[off:hi]),
+                "max_tfsat": float(sat[off:hi].max()),
+                "max_tf": int(tfs[off:hi].max()),
+                "min_dl": int(dls[off:hi].min()),
+            })
+    return pd.DataFrame(rows), truth
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_wand_matches_bruteforce_randomized(seed):
+    rng = np.random.default_rng(seed)
+    avgdl = float(rng.uniform(20, 150))
+    # small universe → heavy doc overlap between terms (tie-rich);
+    # occasionally huge sparse universe (block-skip-rich)
+    universe = (
+        np.arange(-50, 450, dtype=np.int64)
+        if seed % 3
+        else rng.choice(10**14, size=3000, replace=False).astype(np.int64)
+    )
+    n_terms = int(rng.integers(1, 7))
+    pdf, truth = _mk_blocks(rng, n_terms, universe, avgdl,
+                            block_size=int(rng.choice([1, 7, 128])))
+    k = int(rng.integers(1, 25))
+    out = bmw.wand_topk_group(pdf, k=k, avgdl=avgdl)
+    expected = sorted(truth.items(), key=lambda t: (-t[1], t[0]))[:k]
+    assert list(out["doc_id"]) == [d for d, _ in expected], f"seed={seed}"
+    np.testing.assert_allclose(
+        out["score"], [s for _, s in expected], rtol=0, atol=1e-12
+    )
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_wand_safe_bounds_randomized(seed):
+    """'safe' bound mode (avgdl drift) must stay exact even when queried
+    with an avgdl different from the build-time one."""
+    rng = np.random.default_rng(100 + seed)
+    build_avgdl = 80.0
+    query_avgdl = float(rng.uniform(20, 200))  # drifted global stat
+    universe = np.arange(0, 600, dtype=np.int64)
+    pdf, _ = _mk_blocks(rng, 4, universe, build_avgdl)
+    # truth must be recomputed under the QUERY-time avgdl
+    truth = {}
+    for _, row in pdf.iterrows():
+        docs = vb.delta_decode(row["docs_vb"], base=row["first_doc"])
+        tfs = vb.decode(row["tfs_vb"]).astype(float)
+        dls = vb.decode(row["dls_vb"]).astype(float)
+        sat = tfs * (K1 + 1) / (tfs + K1 * (1 - B + B * dls / query_avgdl))
+        for d, s in zip(docs, row["idf"] * sat):
+            truth[int(d)] = truth.get(int(d), 0.0) + float(s)
+    q = [(0, [(t, float(g["idf"].iloc[0]))
+              for t, g in pdf.groupby("term")])]
+    out = bmw.wand_topk_shard(pdf, q, k=10, avgdl=query_avgdl,
+                              bound_mode="safe")
+    expected = sorted(truth.items(), key=lambda t: (-t[1], t[0]))[:10]
+    assert list(out["doc_id"]) == [d for d, _ in expected], f"seed={seed}"
