@@ -72,9 +72,13 @@ def run(sf_dir: str, cpus: int, index_root: str = "/tmp/bench_index"):
     index_path = f"{index_root}_{os.path.basename(sf_dir)}_{cpus}"
     shutil.rmtree(index_path, ignore_errors=True)
 
+    # shard count depends only on the INPUT (not the core count), so runs
+    # at different parallelism levels stay comparable; small corpora get
+    # fewer shards to avoid pure-overhead tasks.
+    n_shards = 64 if n_docs >= 100_000 else 16
     t0 = time.perf_counter()
     engine = Engine.build(spark, corpus, index_path,
-                          n_shards=64, scorer="overlap")
+                          n_shards=n_shards, scorer="overlap")
     timings["q_index_build"] = time.perf_counter() - t0
 
     n_queries = int(os.environ.get("BENCH_QUERIES", 50))
@@ -89,7 +93,7 @@ def run(sf_dir: str, cpus: int, index_root: str = "/tmp/bench_index"):
     timings["q_exhaustive_queryset50"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    engine.rank(q50, corpus, first_k=100, final_k=10).count()
+    engine.rank(q50, corpus, first_k=100, final_k=10, mode="auto").count()
     timings["q_two_stage"] = time.perf_counter() - t0
 
     result = {

@@ -151,11 +151,75 @@ def get_defaults(family: str, lang: str = "en") -> str:
 _MODEL_TYPE_KEYWORDS = [
     ("stub", "stub"),
     ("overlap", "overlap"),
+    ("rankgpt", "listwise"),
+    ("rankllm", "listwise"),
+    ("listwise", "listwise"),
     ("colbert", "cross-encoder"),
     ("cross-encoder", "cross-encoder"),
     ("t5", "cross-encoder"),
+    ("flashrank", "flashrank"),
     ("rerank", "cross-encoder"),
 ]
+
+
+@register_scorer("flashrank")
+def _flashrank_scorer():
+    """ONNX scorer family (reference models/flashrank_ranker.py:32-64).
+    Gated: onnxruntime/flashrank are not in this sandbox."""
+    try:
+        from flashrank import Ranker  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "flashrank scorer needs the flashrank package; use "
+            "scorer='stub'/'overlap' in environments without it"
+        ) from e
+    raise NotImplementedError  # pragma: no cover
+
+
+#: substring-matched API providers (reference reranker.py:71-90); API
+#: scorers need network access — absent here, the registry entry raises.
+PROVIDERS = ["cohere", "jina", "voyage", "mixedbread.ai", "pinecone", "isaacus"]
+
+
+def _get_api_provider(model_name: str,
+                      model_type: Optional[str] = None) -> Optional[str]:
+    """Reference _get_api_provider semantics: substring match on the
+    model name (or explicit type) against known providers."""
+    for p in PROVIDERS:
+        if p in (model_type or "").lower() or p in model_name.lower():
+            return p
+    return None
+
+
+@register_scorer("api")
+def _api_scorer():
+    """HTTP API scorer family (reference models/api_rankers.py:87-143).
+    Needs network + requests; per-partition connection reuse would live
+    in mapInPandas. Unavailable in this sandbox by design."""
+    raise ImportError(
+        "API scorers need network access (cohere/jina/voyage/...); "
+        "use a local scorer ('stub'/'overlap'/'cross-encoder') here"
+    )
+
+
+def get_reranker(model_name: str = "stub", model_type: Optional[str] = None,
+                 lang: str = "en", **kw):
+    """Unified factory (reference rerankers/reranker.py:196-247 returns a
+    DIFFERENT ranker class per model type): listwise names dispatch to
+    ListwiseReranker, everything else to the pointwise Reranker."""
+    # explicit non-provider model_type always wins (reference passes the
+    # explicit type through before provider-substring fallback)
+    explicit_known = model_type in AVAILABLE_SCORERS or model_type == "listwise"
+    if not explicit_known:
+        provider = _get_api_provider(model_name, model_type)
+        if provider is not None:
+            return Reranker(model_name, model_type="api", lang=lang, **kw)
+    mtype = _get_model_type(model_name, model_type)
+    if mtype == "listwise":
+        from rerankers_spark.rerank.listwise import ListwiseReranker
+
+        return ListwiseReranker(**kw)
+    return Reranker(model_name, model_type=mtype, lang=lang, **kw)
 
 
 def _get_model_type(model_name: str, explicit: Optional[str]) -> str:
