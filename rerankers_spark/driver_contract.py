@@ -573,6 +573,50 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → new-session
+    flag → running sum = session id. The batch formulation of the
+    stateful-streaming classic; per-user windows bound the shuffle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(order))
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap >= 1800), 1).otherwise(0),
+    )
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn(
+        "session_id", F.sum("is_new").over(running)
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+_SQL_SESSIONIZE = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN prev IS NULL
+                   OR date_diff('second', prev, ts) >= 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM lagged),
+sess AS (
+  SELECT user_id, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM sess GROUP BY 1, 2
+"""
+
+
 def q_semi_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -656,6 +700,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "ann_cosine_topk": (q_ann_cosine_topk, _SQL_ANN),
     "embedding_centroids": (q_embedding_centroids, _SQL_CENTROIDS),
     "events_hourly": (q_events_hourly, _SQL_EVENTS_HOURLY),
+    "events_sessionize": (q_events_sessionize, _SQL_SESSIONIZE),
     "semi_join_segments": (
         q_semi_join_segments,
         "SELECT c_mktsegment, count(*)::BIGINT AS n_customers FROM customer "
