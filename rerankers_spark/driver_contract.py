@@ -608,8 +608,9 @@ flagged AS (
   FROM lagged),
 sess AS (
   SELECT user_id, value,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_id
   FROM flagged)
 SELECT user_id, session_id, count(*)::BIGINT AS n_events,
        round(sum(value), 4) AS sum_value

@@ -27,16 +27,30 @@ def _duck(sf_dir: str):
 
 
 def _norm(v):
+    # Type-tagged normalization: a float 11.0 and an int 11 must NOT
+    # compare equal — the driver hashes pandas values, where a DuckDB
+    # HUGEINT window sum materializes as float64 and flips the hash
+    # (real failure, round 1: events_sessionize).
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return f"{v:.9g}"
-    return str(v)
+            return "f:nan"
+        return f"f:{v:.9g}"
+    if isinstance(v, (int,)) and not isinstance(v, bool):
+        return f"i:{v}"
+    return f"s:{v}"
 
 
-def _rows_to_set(cols, rows):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
+def _dtype_kind(k: str) -> str:
+    # Collapse numpy dtype kinds the way the driver's hash would see them.
+    return {"i": "int", "u": "int", "f": "float", "b": "bool",
+            "M": "ts", "O": "obj", "S": "obj", "U": "obj"}.get(k, k)
+
+
+def _pdf_to_set(pdf):
+    cols = sorted(pdf.columns)
+    sub = pdf[cols]
+    return sorted(tuple(_norm(v) for v in row)
+                  for row in sub.itertuples(index=False, name=None))
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql().keys()))
@@ -44,21 +58,20 @@ def _rows_to_set(cols, rows):
                                     "/root/testdata/sf0.01"])
 def test_query_matches_oracle(spark, name, sf_dir):
     fn = entrymod.queries()[name]
-    sdf = fn(spark, sf_dir)
-    s_cols = sdf.columns
-    s_rows = [tuple(r) for r in sdf.collect()]
+    s_pdf = fn(spark, sf_dir).toPandas()
 
     con = _duck(sf_dir)
-    res = con.execute(entrymod.oracle_sql()[name])
-    d_cols = [c[0] for c in res.description]
-    d_rows = res.fetchall()
+    d_pdf = con.execute(entrymod.oracle_sql()[name]).df()
     con.close()
 
-    assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
-    assert len(s_rows) == len(d_rows), f"{name}: row count differs"
-    assert _rows_to_set(s_cols, s_rows) == _rows_to_set(d_cols, d_rows), (
-        f"{name}: values differ"
+    assert sorted(s_pdf.columns) == sorted(d_pdf.columns), (
+        f"{name}: column names differ"
     )
+    assert len(s_pdf) == len(d_pdf), f"{name}: row count differs"
+    s_kinds = {c: _dtype_kind(s_pdf[c].dtype.kind) for c in s_pdf.columns}
+    d_kinds = {c: _dtype_kind(d_pdf[c].dtype.kind) for c in d_pdf.columns}
+    assert s_kinds == d_kinds, f"{name}: column dtype kinds differ"
+    assert _pdf_to_set(s_pdf) == _pdf_to_set(d_pdf), f"{name}: values differ"
 
 
 def test_entry_smoke(spark):
