@@ -1,9 +1,13 @@
 """Block-max WAND top-k over the doc-sharded block index.
 
-Distribution model: one WAND run per (query_id, shard_id) group via
-``applyInPandas`` — the doc-sharded layout (see spimi.py) makes shard
-results independent, so per-shard top-k lists merge into the EXACT global
-top-k with a final window. Parallelism = |queries| × |shards|.
+Distribution model: queries are hash-bucketed (``pmod(xxhash64(query_id),
+B)``) and cogrouped with the shard's blocks on ``(shard_id, bucket)`` —
+the doc-sharded layout (see spimi.py) makes shard results independent, so
+per-shard top-k lists merge into the EXACT global top-k with a final
+window. Parallelism = |shards| × B; both the query set and the block
+table stay distributed (no driver collect — the query log can be a
+billion rows). Within a task, decoded blocks are cached per term and
+shared across every query in the bucket.
 
 The kernel (Ding & Suel, "Faster Top-k Document Retrieval Using Block-Max
 Indexes", SIGIR 2011) is numpy-over-decoded-blocks inside the UDF — an
@@ -41,12 +45,13 @@ class _TermData:
 
     __slots__ = ("term", "block_first", "block_last", "block_max",
                  "docs_vb", "tfs_vb", "dls_vb", "nblocks", "max_sat",
-                 "_cache")
+                 "df", "_cache")
 
     def __init__(self, term: str, g: pd.DataFrame, avgdl: float | None = None,
                  bound_mode: str = "exact"):
         g = g.sort_values("block_id")
         self.term = term
+        self.df = int(g["n"].sum()) if "n" in g.columns else 0
         self.block_first = g["first_doc"].to_numpy(dtype=np.int64)
         self.block_last = g["last_doc"].to_numpy(dtype=np.int64)
         if bound_mode == "exact":
@@ -232,6 +237,53 @@ def _wand_single(cursors: list[_TermCursor], k: int) -> list[tuple[float, int]]:
     return sorted(heap, key=lambda t: (-t[0], -t[1]))
 
 
+#: within a shard task, a query whose RAREST term matches more than this
+#: fraction of the shard's docs gets no skipping from WAND (θ rises too
+#: slowly to prune dense lists) — route it to the vectorized block-scan
+#: kernel instead. Mirrors Engine.AUTO_DENSE_DF_RATIO, but per (query,
+#: shard) inside the task, so one Spark job serves mixed workloads.
+DENSE_DF_RATIO = 0.10
+
+
+def _exhaustive_single(
+    q_terms: list[tuple[_TermData, float]], k: int, avgdl: float
+) -> list[tuple[float, int]]:
+    """Vectorized decode-and-score of every posting of the query's terms —
+    the in-kernel dense path. Same output shape as _wand_single
+    ([(score, -doc_id)] sorted by (score desc, doc_id asc)); scores agree
+    with the WAND path to float-sum reassociation (~1e-15), which every
+    cross-engine consumer already rounds away (CLAUDE.md invariants)."""
+    docs_parts: list[np.ndarray] = []
+    contrib_parts: list[np.ndarray] = []
+    # terms processed in sorted order → deterministic per-doc sum order
+    for data, idf in sorted(q_terms, key=lambda p: p[0].term):
+        for bi in range(data.nblocks):
+            docs, tfs, dls = data.decoded(bi)
+            tfs = tfs.astype(np.float64)
+            dls = dls.astype(np.float64)
+            sat = tfs * (bm25.K1 + 1.0) / (
+                tfs + bm25.K1 * (1.0 - bm25.B + bm25.B * dls / avgdl)
+            )
+            docs_parts.append(docs)
+            contrib_parts.append(idf * sat)
+    if not docs_parts:
+        return []
+    all_docs = np.concatenate(docs_parts)
+    all_contrib = np.concatenate(contrib_parts)
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    acc = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(acc, inv, all_contrib)
+    if len(uniq) > k:
+        # keep EVERY doc tied with the k-th score so the (score desc,
+        # doc_id asc) tie-break below stays exact at the cut boundary
+        kth = np.partition(-acc, k - 1)[k - 1]
+        cand = np.nonzero(-acc <= kth)[0]
+    else:
+        cand = np.arange(len(uniq))
+    order = cand[np.lexsort((uniq[cand], -acc[cand]))][:k]
+    return [(float(acc[i]), -int(uniq[i])) for i in order]
+
+
 def wand_topk_group(pdf: pd.DataFrame, k: int, avgdl: float) -> pd.DataFrame:
     """One (query_id, shard_id) group of block rows → local top-k.
     (Single-query form; the distributed path uses wand_topk_shard.)"""
@@ -258,13 +310,18 @@ def wand_topk_shard(
     k: int,
     avgdl: float,
     bound_mode: str = "exact",
+    n_docs_shard: float = 0.0,
 ) -> pd.DataFrame:
-    """One shard's blocks (ALL query terms, deduplicated) + the full query
-    list → per-query local top-k.
+    """One shard's blocks (the bucket's query terms, deduplicated) + the
+    bucket's query list → per-query local top-k.
 
     Decoded blocks are cached per term and shared across queries — the
     shard's bytes move through the shuffle exactly once regardless of how
-    many queries touch the same head term.
+    many queries touch the same head term. Queries whose rarest term is
+    dense in this shard (df/n_docs_shard > DENSE_DF_RATIO, where WAND
+    degenerates to a doc-at-a-time Python loop with no skips) route to
+    the vectorized block-scan kernel instead; pass n_docs_shard=0 to
+    force pure WAND.
     """
     terms: dict[str, _TermData] = {
         str(term): _TermData(str(term), g, avgdl, bound_mode)
@@ -272,14 +329,16 @@ def wand_topk_shard(
     }
     qids, docs, scores = [], [], []
     for query_id, q_terms in queries:
-        cursors = [
-            _TermCursor(terms[t], idf, avgdl)
-            for t, idf in q_terms
-            if t in terms
-        ]
-        if not cursors:
+        present = [(terms[t], idf) for t, idf in q_terms if t in terms]
+        if not present:
             continue
-        for s, negd in _wand_single(cursors, k):
+        min_df = min(d.df for d, _ in present)
+        if n_docs_shard > 0 and min_df > DENSE_DF_RATIO * n_docs_shard:
+            out = _exhaustive_single(present, k, avgdl)
+        else:
+            cursors = [_TermCursor(d, idf, avgdl) for d, idf in present]
+            out = _wand_single(cursors, k)
+        for s, negd in out:
             qids.append(query_id)
             docs.append(-negd)
             scores.append(s)
@@ -308,6 +367,13 @@ def query_terms_with_idf(
     )
 
 
+#: query vocabularies up to this size are collected once (a bounded,
+#: semi-reduced driver list) so the term filter pushes into the parquet
+#: block scan; above it the broadcast bucket-join is the only term filter
+#: (a query log that big touches most of the index anyway).
+TERM_PUSHDOWN_CAP = 4096
+
+
 def bmw_topk(
     spark: SparkSession,
     queries: DataFrame,
@@ -317,6 +383,7 @@ def bmw_topk(
     meta: dict | None = None,
     termstats: DataFrame | None = None,
     blocks: DataFrame | None = None,
+    query_buckets: int | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score, rank): exact BM25 top-k via BMW.
 
@@ -325,6 +392,10 @@ def bmw_topk(
     required after append_index generations. None → auto from index meta.
     meta/termstats/blocks: pre-loaded handles (Engine caches them so
     repeated searches skip the scalar-read jobs).
+    query_buckets: query-side fan-out B (tasks = |shards| × B). None →
+    sized so shards × buckets covers the cluster. Block bytes for a term
+    shared by several buckets are replicated per bucket — B trades
+    shuffle volume for query parallelism.
     """
     from rerankers_spark.index.spimi import load_meta
 
@@ -333,24 +404,64 @@ def bmw_topk(
     if bound_mode is None:
         bound_mode = "safe" if int(meta.get("generation", 0)) > 0 else "exact"
     n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
+    n_shards_total = (int(meta.get("generation", 0)) + 1) * int(
+        meta.get("n_shards", 32))
+    if query_buckets is None:
+        query_buckets = max(
+            1, spark.sparkContext.defaultParallelism
+            // max(1, n_shards_total))
+    n_buckets = int(query_buckets)
+
     qt = query_terms_with_idf(spark, queries, paths, n_docs, termstats)
-    # The query set is driver-small by construction (it is the other side
-    # of a broadcast anyway); shipping it as a task closure lets one shard
-    # group serve ALL queries without duplicating block bytes per query.
-    q_map: dict[int, list[tuple[str, float]]] = {}
-    for r in qt.collect():
-        q_map.setdefault(r["query_id"], []).append((r["term"], r["idf"]))
-    q_list = sorted((qid, ts) for qid, ts in q_map.items())
-    terms = sorted({t for _, ts in q_list for t, _ in ts})
-    if not terms:
+    # the bucket expression is instantiated separately per cogroup side so
+    # the two plans don't share an attribute (ambiguous-self-join check)
+    def _bucket_col():
+        return F.pmod(F.xxhash64("query_id"), F.lit(n_buckets)).cast("int")
+
+    # Bounded term-list pushdown (see TERM_PUSHDOWN_CAP). limit() means the
+    # driver never holds more than CAP+1 terms even for a huge query log.
+    term_rows = qt.select("term").distinct() \
+        .limit(TERM_PUSHDOWN_CAP + 1).collect()
+    if not term_rows:
         return spark.createDataFrame(
             [], "query_id long, doc_id long, score double, rank int"
         )
     if blocks is None:
         blocks = spark.read.parquet(paths.blocks)
-    blocks = blocks.where(F.col("term").isin(terms))
-    local = blocks.groupBy("shard_id").applyInPandas(
-        lambda pdf: wand_topk_shard(pdf, q_list, k, avgdl, bound_mode),
-        "query_id long, doc_id long, score double",
-    )
+    if len(term_rows) <= TERM_PUSHDOWN_CAP:
+        blocks = blocks.where(
+            F.col("term").isin([r["term"] for r in term_rows]))
+
+    # blocks → (shard_id, bucket) groups: a block row is replicated to
+    # exactly the buckets whose queries use its term.
+    bucket_terms = qt.select(_bucket_col().alias("bucket"),
+                             "term").distinct()
+    blocks_b = blocks.join(F.broadcast(bucket_terms), "term")
+
+    # queries → every shard (shard results are doc-disjoint and merge
+    # exactly); the query side is rows of (id, term, idf) — tiny next to
+    # block bytes, so the |shards|× replication is the cheap direction.
+    shards = spark.range(n_shards_total).select(
+        F.col("id").cast("int").alias("shard_id"))
+    q_side = qt.select("query_id", "term", "idf",
+                       _bucket_col().alias("bucket")) \
+        .crossJoin(F.broadcast(shards))
+
+    def _run(bpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(bpdf) == 0 or len(qpdf) == 0:
+            return pd.DataFrame({
+                "query_id": np.array([], dtype=np.int64),
+                "doc_id": np.array([], dtype=np.int64),
+                "score": np.array([], dtype=np.float64),
+            })
+        q_map: dict[int, list[tuple[str, float]]] = {}
+        for qid, t, idf in zip(qpdf["query_id"], qpdf["term"], qpdf["idf"]):
+            q_map.setdefault(int(qid), []).append((str(t), float(idf)))
+        q_list = sorted(q_map.items())
+        return wand_topk_shard(bpdf, q_list, k, avgdl, bound_mode,
+                               n_docs_shard=n_docs / n_shards_total)
+
+    local = blocks_b.groupby("shard_id", "bucket").cogroup(
+        q_side.groupby("shard_id", "bucket")
+    ).applyInPandas(_run, "query_id long, doc_id long, score double")
     return topk(local, k)

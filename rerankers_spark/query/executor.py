@@ -84,30 +84,25 @@ class Engine:
         raise ValueError(f"unknown mode {mode!r}")
 
     def _auto(self, queries: DataFrame, k: int) -> DataFrame:
+        """Route each query dense/sparse with a tag column — fully
+        set-oriented (no driver collect; the routing table stays a
+        DataFrame however large the query log is)."""
         meta, termstats, blocks = self._handles()
         n_docs = int(meta["n_docs"])
         qt = bmw.query_terms_with_idf(
             self.spark, queries, self.paths, n_docs, termstats)
-        sel = qt.groupBy("query_id").agg(F.min("df").alias("min_df")
-                                         ).collect()
-        dense = {r["query_id"] for r in sel
-                 if r["min_df"] / n_docs > self.AUTO_DENSE_DF_RATIO}
-        sparse_q = queries.where(~F.col("query_id").isin(list(dense))) \
-            if dense else queries
-        parts = []
-        if dense:
-            parts.append(
-                self._exhaustive(
-                    queries.where(F.col("query_id").isin(list(dense))), k)
-            )
-        parts.append(
+        tag = qt.groupBy("query_id").agg(
+            (F.min("df") / F.lit(float(n_docs))
+             > self.AUTO_DENSE_DF_RATIO).alias("__dense"))
+        tagged = queries.join(tag, "query_id", "left")
+        # NULL tag = no term in the index vocabulary → zero results either
+        # way; dropped here rather than shipped through a search.
+        dense_q = tagged.where(F.col("__dense")).drop("__dense")
+        sparse_q = tagged.where(~F.col("__dense")).drop("__dense")
+        return self._exhaustive(dense_q, k).unionByName(
             bmw.bmw_topk(self.spark, sparse_q, self.paths, k=k, meta=meta,
                          termstats=termstats, blocks=blocks)
         )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
 
     def _exhaustive(self, queries: DataFrame, k: int) -> DataFrame:
         """Score every posting of every query term (no skipping) by
@@ -119,14 +114,18 @@ class Engine:
 
         n_docs, avgdl = load_scalars(self.spark, self.paths)
         qt = bmw.query_terms_with_idf(self.spark, queries, self.paths, n_docs)
-        terms = [r["term"] for r in qt.select("term").distinct().collect()]
+        # bounded pushdown list (see bmw.TERM_PUSHDOWN_CAP): small query
+        # vocabularies push a term filter into the parquet scan; larger
+        # ones rely on the broadcast join below as the only term filter.
+        terms = [r["term"] for r in qt.select("term").distinct()
+                 .limit(bmw.TERM_PUSHDOWN_CAP + 1).collect()]
         if not terms:
             return self.spark.createDataFrame(
                 [], "query_id long, doc_id long, score double, rank int"
             )
-        blocks = self.spark.read.parquet(self.paths.blocks).where(
-            F.col("term").isin(terms)
-        )
+        blocks = self.spark.read.parquet(self.paths.blocks)
+        if len(terms) <= bmw.TERM_PUSHDOWN_CAP:
+            blocks = blocks.where(F.col("term").isin(terms))
         matched = blocks.join(F.broadcast(qt), "term")
         k1, b = bm25.K1, bm25.B
 
