@@ -19,4 +19,9 @@ varbyte codec, BMW kernel, rerank scorers) — never per-row Python.
 __version__ = "0.1.0"
 
 from rerankers_spark.results import Document, RankedResults, Result  # noqa: F401
-from rerankers_spark.rerank.ranker import Reranker, get_reranker  # noqa: F401
+from rerankers_spark.rerank.ranker import (  # noqa: F401
+    Reranker,
+    get_reranker,
+    prep_docs,
+    prep_image_docs,
+)

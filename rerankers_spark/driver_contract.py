@@ -354,6 +354,61 @@ JOIN mh sb ON sb.doc_id = p.doc_b
 """
 
 
+def q_lsh_then_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over LSH candidate pairs only (the scale
+    composition — no unpruned shingle self-join in the plan)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.lsh_then_jaccard(d, min_common=1)
+    return pairs.select(
+        "doc_a", "doc_b", "n_common", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _sql_lsh_then_jaccard() -> str:
+    rows_per_band = dedup.N_PERM // dedup.N_BANDS
+    band_selects = []
+    for band in range(dedup.N_BANDS):
+        cols = [f"mh{band * rows_per_band + r}" for r in range(rows_per_band)]
+        key = " || '_' || ".join(f"{c}::VARCHAR" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band, md5({key}) AS band_key FROM mh"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {dedup.P_MOD})::BIGINT AS mh{i}"
+        for i, (a, b) in enumerate(
+            dedup.perm_params(i) for i in range(dedup.N_PERM))
+    )
+    return f"""
+WITH {_SQL_SHINGLES},
+hashed AS (SELECT doc_id,
+  ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {dedup.P_MOD} AS h
+  FROM shing),
+mh AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+bands AS ({bands}),
+sized AS (SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bn
+          FROM bands),
+filt AS (SELECT * FROM sized WHERE bn <= 1000),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM filt a JOIN filt b USING (band, band_key)
+  WHERE a.doc_id < b.doc_id),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM shing),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM dsh GROUP BY 1),
+common AS (
+  SELECT p.doc_a, p.doc_b, count(*)::BIGINT AS n_common
+  FROM pairs p
+  JOIN dsh a ON a.doc_id = p.doc_a
+  JOIN dsh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_common,
+       round(n_common::DOUBLE / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+"""
+
+
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.simhash_near_pairs(d, max_hamming=3).select(
@@ -385,7 +440,8 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     q = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_vec_id"), "vec")
-    return ann.lsh_cosine_topk(q, e, k=10, n_planes=8, dim=64)
+    return ann.lsh_cosine_topk(q, e, k=10, n_planes=4, dim=64,
+                               n_tables=8)
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -396,6 +452,32 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_vec_id"), "vec")
     return ann.ivf_topk(q, e, cents, k=10, nprobe=3)
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(method, recall_at_10): approximation quality of the ANN paths vs
+    the exact cosine baseline, tracked per round (rows-only — recall is a
+    measurement of deliberate approximation, not an equality oracle)."""
+    e = ann.with_double_vec(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_vec_id"), "vec")
+    exact = ann.cosine_topk(q, e, k=10).select("query_vec_id", "vec_id")
+    cents = ann.kmeans_centroids(e, n_centroids=8, dim=64)
+    approx = (
+        ann.lsh_cosine_topk(q, e, k=10, n_planes=4, dim=64, n_tables=8)
+        .select(F.lit("lsh").alias("method"), "query_vec_id", "vec_id")
+        .unionByName(
+            ann.ivf_topk(q, e, cents, k=10, nprobe=3)
+            .select(F.lit("ivf").alias("method"), "query_vec_id", "vec_id"))
+    )
+    n_exact = 5 * 10
+    return (
+        approx.join(exact, ["query_vec_id", "vec_id"])
+        .groupBy("method")
+        .agg(F.round(F.count("*") / F.lit(float(n_exact)), 4)
+             .alias("recall_at_10"))
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -685,10 +767,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "simhash_near_pairs": (q_simhash_near_pairs, _sql_simhash_pairs()),
     "lsh_ann_topk": (q_lsh_ann_topk, None),
     "ivf_ann_topk": (q_ivf_ann_topk, None),
+    "ann_recall": (q_ann_recall, None),
     "multimodal_features": (q_multimodal_features, None),
     "minhash_signatures": (q_minhash_signatures, _sql_minhash()),
     "simhash": (q_simhash, _sql_simhash()),
     "ngram_jaccard_topk": (q_ngram_jaccard_topk, _SQL_NGRAM_JACCARD),
+    "lsh_then_jaccard": (q_lsh_then_jaccard, _sql_lsh_then_jaccard()),
     "dedup_fingerprint": (
         q_dedup_fingerprint,
         f"SELECT doc_id, md5(array_to_string({_SQL_TOKS}, ' ')) AS fp "

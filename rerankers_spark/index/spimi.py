@@ -215,13 +215,40 @@ def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 class IndexPaths:
-    def __init__(self, root: str):
+    """Logical index tables, resolved through a Catalog
+    (sources/catalog.py): parquet paths under ``root`` today, an Iceberg
+    catalog transparently when ``catalog_name`` is configured and the
+    runtime jar is present. The path attributes remain for parquet-mode
+    callers; ALL index IO inside this package goes through
+    read/write/exists so the storage backend is swappable."""
+
+    def __init__(self, root: str, catalog_name: str | None = None):
         self.root = root
+        self.catalog_name = catalog_name
         self.blocks = f"{root}/blocks"
         self.docstats = f"{root}/docstats"
         self.termstats = f"{root}/termstats"
         self.scalars = f"{root}/scalars"
         self.manifest = f"{root}/manifest"
+        self._catalog = None
+
+    def catalog(self, spark: SparkSession):
+        from rerankers_spark.sources.catalog import Catalog
+
+        if self._catalog is None or self._catalog.spark is not spark:
+            self._catalog = Catalog(spark, self.root, self.catalog_name)
+        return self._catalog
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return self.catalog(spark).table(name)
+
+    def write(self, df: DataFrame, name: str, mode: str = "overwrite",
+              partition_by: list[str] | None = None) -> None:
+        self.catalog(df.sparkSession).write_table(df, name, mode,
+                                                  partition_by)
+
+    def exists(self, spark: SparkSession, name: str) -> bool:
+        return self.catalog(spark).table_exists(name)
 
 
 def _xor_sha_col():
@@ -244,10 +271,10 @@ def build_index(
     """
     paths = IndexPaths(path)
     done: set[int] = set()
-    if resume and os.path.exists(paths.manifest):
+    if resume and paths.exists(spark, "manifest"):
         done = {
             r["shard_id"]
-            for r in spark.read.parquet(paths.manifest)
+            for r in paths.read(spark, "manifest")
             .where(F.col("status") == "ok")
             .select("shard_id")
             .collect()
@@ -270,9 +297,9 @@ def build_index(
         "doc_id", "shard_id", "content_sha256",
         token_count_pandas_udf(F.col("content")).alias("dl"),
     )
-    if not (resume and os.path.exists(paths.docstats)):
-        dt.write.mode("overwrite").parquet(paths.docstats)
-    docstats = spark.read.parquet(paths.docstats)
+    if not (resume and paths.exists(spark, "docstats")):
+        paths.write(dt, "docstats", mode="overwrite")
+    docstats = paths.read(spark, "docstats")
     # one pass for scalars AND the per-shard manifest stats (the shard agg
     # subsumes the global one — avoids a second docstats scan+job later)
     shard_stats = docstats.groupBy("shard_id").agg(
@@ -298,23 +325,20 @@ def build_index(
     blocks = p.groupBy("shard_id").applyInPandas(
         lambda pdf: _build_shard_blocks(pdf, avgdl), BLOCKS_SCHEMA
     )
-    writer = blocks.write.partitionBy("shard_id")
-    if done:
-        writer.mode("append").parquet(paths.blocks)
-    else:
-        writer.mode("overwrite").parquet(paths.blocks)
+    paths.write(blocks, "blocks", mode="append" if done else "overwrite",
+                partition_by=["shard_id"])
     wall = time.time() - t0
 
     # ---- termstats + manifest block stats: ONE narrow scan of the block
     # metadata columns (term, n, shard_id — parquet prunes the binary
     # payload columns), cached, two cheap aggs -------------------------------
-    all_blocks_meta = spark.read.parquet(paths.blocks).select(
+    all_blocks_meta = paths.read(spark, "blocks").select(
         "shard_id", "term", "n"
     ).cache()
     ts = all_blocks_meta.groupBy("term").agg(
         F.sum("n").cast("long").alias("df")
     )
-    ts.write.mode("overwrite").parquet(paths.termstats)
+    paths.write(ts, "termstats", mode="overwrite")
 
     block_stats = all_blocks_meta.groupBy("shard_id").agg(
         F.sum("n").cast("long").alias("n_postings"),
@@ -330,7 +354,7 @@ def build_index(
             F.lit(float(wall)).alias("wall_time"),
         )
     )
-    manifest.write.mode("overwrite").parquet(paths.manifest)
+    paths.write(manifest, "manifest", mode="overwrite")
     shard_stats.unpersist()
     all_blocks_meta.unpersist()
     return paths
@@ -338,19 +362,20 @@ def build_index(
 
 def _write_scalars(spark: SparkSession, paths: IndexPaths, n_docs: int,
                    avgdl: float, n_shards: int, generation: int) -> None:
-    spark.createDataFrame(
+    df = spark.createDataFrame(
         [(n_docs, avgdl, n_shards, generation)],
         "n_docs long, avgdl double, n_shards int, generation int",
-    ).coalesce(1).write.mode("overwrite").parquet(paths.scalars)
+    ).coalesce(1)
+    paths.write(df, "scalars", mode="overwrite")
 
 
 def load_scalars(spark: SparkSession, paths: IndexPaths) -> tuple[int, float]:
-    r = spark.read.parquet(paths.scalars).collect()[0]
+    r = paths.read(spark, "scalars").collect()[0]
     return int(r["n_docs"]), float(r["avgdl"])
 
 
 def load_meta(spark: SparkSession, paths: IndexPaths) -> dict:
-    r = spark.read.parquet(paths.scalars).collect()[0]
+    r = paths.read(spark, "scalars").collect()[0]
     return r.asDict()
 
 
@@ -384,8 +409,8 @@ def append_index(
         "doc_id", "shard_id", "content_sha256",
         token_count_pandas_udf(F.col("content")).alias("dl"),
     )
-    dt.write.mode("append").parquet(paths.docstats)
-    docstats = spark.read.parquet(paths.docstats)
+    paths.write(dt, "docstats", mode="append")
+    docstats = paths.read(spark, "docstats")
     row = docstats.agg(F.count("*").alias("n"),
                        F.avg("dl").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(row["n"]), float(row["avgdl"])
@@ -394,12 +419,13 @@ def append_index(
     blocks = p.groupBy("shard_id").applyInPandas(
         lambda pdf: _build_shard_blocks(pdf, avgdl), BLOCKS_SCHEMA
     )
-    blocks.write.partitionBy("shard_id").mode("append").parquet(paths.blocks)
+    paths.write(blocks, "blocks", mode="append", partition_by=["shard_id"])
 
-    all_blocks = spark.read.parquet(paths.blocks)
-    all_blocks.groupBy("term").agg(
-        F.sum("n").cast("long").alias("df")
-    ).write.mode("overwrite").parquet(paths.termstats)
+    all_blocks = paths.read(spark, "blocks")
+    paths.write(
+        all_blocks.groupBy("term").agg(
+            F.sum("n").cast("long").alias("df")),
+        "termstats", mode="overwrite")
     _write_scalars(spark, paths, n_docs, avgdl, n_shards, generation=gen)
 
     new_manifest = dt.groupBy("shard_id").agg(
@@ -417,5 +443,5 @@ def append_index(
         F.lit("ok").alias("status"), F.lit(0.0).alias("wall_time"),
     ).select("shard_id", "n_docs", "n_postings", "n_blocks", "sum_dl",
              "sha256_xor", "status", "wall_time")
-    new_manifest.write.mode("append").parquet(paths.manifest)
+    paths.write(new_manifest, "manifest", mode="append")
     return paths

@@ -2,10 +2,12 @@
 
 * :func:`cosine_topk` — exact brute-force cosine top-k, fully native
   (``zip_with`` dot product + window top-k). The correctness baseline.
-* :func:`lsh_cosine_topk` — random-hyperplane LSH bucketing: candidates
-  only from matching buckets (multi-probe over H hash tables), then exact
-  re-scoring. The scale path: at 100 TB the cross join is impossible;
-  bucket join shuffles only colliding pairs.
+* :func:`lsh_cosine_topk` — random-hyperplane LSH over ``n_tables``
+  independent hash tables (union of bucket matches, then exact
+  re-scoring; recall grows with tables, 1 - (1 - p^b)^T). The scale
+  path: at 100 TB the cross join is impossible; bucket joins shuffle
+  only colliding pairs, and tables are independent unions — no
+  cross-table blowup.
 * :func:`ivf_assign` / :func:`ivf_topk` — IVF coarse quantization against
   a (broadcast) centroid table: probe the nprobe nearest centroids only.
 
@@ -98,21 +100,39 @@ def lsh_cosine_topk(
     k: int = 10,
     n_planes: int = 8,
     dim: int = 64,
+    n_tables: int = 4,
     query_id: str = "query_vec_id",
     item_id: str = "vec_id",
 ) -> DataFrame:
-    """Approximate cosine top-k: exact re-scoring over same-bucket
-    candidates only. Recall < 1 by design; the exactness contract lives
-    in cosine_topk."""
-    planes = hyperplanes(dim, n_planes)
-    qs = lsh_signature(
-        queries.select(query_id, F.col("vec").alias("qvec")), planes, "qvec"
-    )
-    its = lsh_signature(
-        items.select(item_id, F.col("vec").alias("ivec")), planes, "ivec"
-    )
-    cand = its.join(F.broadcast(qs), "sig").where(
-        F.col(query_id) != F.col(item_id)
+    """Approximate cosine top-k: exact re-scoring over the UNION of
+    same-bucket candidates across ``n_tables`` independent hyperplane
+    tables (each its own seed). Recall < 1 by design and rises with
+    n_tables; the exactness contract lives in cosine_topk.
+
+    Plan shape: the signature columns for all tables are computed in ONE
+    pass over each side (no per-table rescan), candidates arrive via a
+    posexplode of the signature array joined on (table, sig)."""
+    q = queries.select(query_id, F.col("vec").alias("qvec"))
+    it = items.select(item_id, F.col("vec").alias("ivec"))
+    q_sigs, i_sigs = [], []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed=42 + t)
+        q = lsh_signature(q, planes, "qvec").withColumnRenamed(
+            "sig", f"sig{t}")
+        it = lsh_signature(it, planes, "ivec").withColumnRenamed(
+            "sig", f"sig{t}")
+        q_sigs.append(f"sig{t}")
+        i_sigs.append(f"sig{t}")
+    qs = q.select(
+        query_id, "qvec",
+        F.posexplode(F.array(*q_sigs)).alias("table", "sig"))
+    its = it.select(
+        item_id, "ivec",
+        F.posexplode(F.array(*i_sigs)).alias("table", "sig"))
+    cand = (
+        its.join(F.broadcast(qs), ["table", "sig"])
+        .where(F.col(query_id) != F.col(item_id))
+        .dropDuplicates([query_id, item_id])
     )
     cos = _dot(F.col("qvec"), F.col("ivec")) / (
         _norm(F.col("qvec")) * _norm(F.col("ivec"))
@@ -126,13 +146,27 @@ def lsh_cosine_topk(
 
 def kmeans_centroids(items: DataFrame, n_centroids: int = 16,
                      n_iter: int = 5, vec_col: str = "vec",
-                     dim: int = 64) -> list[list[float]]:
-    """Tiny Lloyd's k-means on the driver over a sample — centroids are a
-    broadcast-sized model (IVF coarse quantizer), deterministic seed."""
+                     dim: int = 64, sample_size: int = 4096,
+                     id_col: str = "vec_id") -> list[list[float]]:
+    """Tiny Lloyd's k-means on the driver over a DETERMINISTIC sample —
+    centroids are a broadcast-sized model (IVF coarse quantizer).
+
+    The sample is the smallest ``sample_size`` ids by a salted portable
+    hash — uniform across the corpus and stable across partitioning
+    (a bare limit() samples in partition order: deterministic only by
+    luck, and biased toward whatever files list first at 100 TB)."""
     import numpy as np
 
+    order = F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmeans"),
+                                   F.col(id_col).cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
     sample = np.array(
-        items.select(vec_col).limit(4096).toPandas()[vec_col].tolist()
+        items.select(vec_col, F.col(id_col), order.alias("__ord"))
+        .orderBy("__ord", id_col)
+        .limit(sample_size)
+        .toPandas()[vec_col].tolist()
     )
     rng = np.random.default_rng(42)
     cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)),

@@ -254,10 +254,54 @@ def winnowing_fingerprints(docs: DataFrame, text_col: str = "text",
     )
 
 
+def lsh_then_jaccard(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", min_common: int = 1,
+                     max_bucket_size: int = 1000) -> DataFrame:
+    """(doc_a, doc_b, n_common, jaccard): EXACT n-gram Jaccard computed
+    only for LSH candidate pairs — the 100-TB composition of
+    lsh_candidate_pairs → ngram verification.
+
+    The plan contains no unpruned shingle self-join: candidate pairs are
+    joined to doc_a's shingles first (|candidates| × shingles-per-doc
+    rows), then matched against doc_b's shingles on (doc_b, shingle) —
+    the head-shingle O(Σ df²) blowup of the raw self-join never happens.
+    Recall is bounded by the LSH parameters (N_PERM/N_BANDS); pairs LSH
+    misses are not verified, by design."""
+    cand = lsh_candidate_pairs(docs, text_col, id_col,
+                               max_bucket_size).select("doc_a", "doc_b")
+    sh = doc_shingles(docs, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("n_b"))
+    return (
+        common.join(na, "doc_a").join(nb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_common",
+            (F.col("n_common").cast("double")
+             / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+            .alias("jaccard"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
                         min_common: int = 1) -> DataFrame:
-    """(doc_a, doc_b, n_common, jaccard) via distinct-shingle join."""
+    """(doc_a, doc_b, n_common, jaccard) via distinct-shingle join.
+    All-pairs on shared shingles — O(Σ df²) in head-shingle document
+    frequency. At corpus scale use lsh_then_jaccard, which verifies only
+    LSH candidates."""
     sh = doc_shingles(docs, text_col, id_col).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")

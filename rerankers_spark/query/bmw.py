@@ -360,7 +360,7 @@ def query_terms_with_idf(
     full vocab table never moves."""
     qt = bm25.query_terms(queries)
     ts = termstats if termstats is not None \
-        else spark.read.parquet(paths.termstats)
+        else paths.read(spark, "termstats")
     return qt.join(ts, "term", "inner").select(
         "query_id", "term", bm25.idf_col(F.col("df"), n_docs).alias("idf"),
         "df",
@@ -427,7 +427,7 @@ def bmw_topk(
             [], "query_id long, doc_id long, score double, rank int"
         )
     if blocks is None:
-        blocks = spark.read.parquet(paths.blocks)
+        blocks = paths.read(spark, "blocks")
     if len(term_rows) <= TERM_PUSHDOWN_CAP:
         blocks = blocks.where(
             F.col("term").isin([r["term"] for r in term_rows]))

@@ -45,8 +45,8 @@ class Engine:
 
         if self._meta is None:
             self._meta = load_meta(self.spark, self.paths)
-            self._termstats = self.spark.read.parquet(self.paths.termstats)
-            self._blocks = self.spark.read.parquet(self.paths.blocks)
+            self._termstats = self.paths.read(self.spark, "termstats")
+            self._blocks = self.paths.read(self.spark, "blocks")
         return self._meta, self._termstats, self._blocks
 
     @classmethod
@@ -123,7 +123,7 @@ class Engine:
             return self.spark.createDataFrame(
                 [], "query_id long, doc_id long, score double, rank int"
             )
-        blocks = self.spark.read.parquet(self.paths.blocks)
+        blocks = self.paths.read(self.spark, "blocks")
         if len(terms) <= bmw.TERM_PUSHDOWN_CAP:
             blocks = blocks.where(F.col("term").isin(terms))
         matched = blocks.join(F.broadcast(qt), "term")

@@ -133,13 +133,14 @@ class ListwiseReranker:
              ) -> RankedResults:
         prepped = prep_docs(docs, doc_ids, metadata)
         order = self._permute(query, [d.text for d in prepped])
+        # results in RANK order, rank = idx+1 — matching the reference
+        # (rankgpt_rankers.py:150-159 returns the permuted hits order)
+        # and this repo's pointwise Reranker.rank()
         results = [
             Result(document=prepped[i], rank=pos + 1)
             for pos, i in enumerate(order)
         ]
-        # passed-document order for indexing parity (results.py:48-50)
-        by_passed = sorted(results, key=lambda r: order[r.rank - 1])
-        return RankedResults(by_passed, query=query, has_scores=False)
+        return RankedResults(results, query=query, has_scores=False)
 
     def rank_df(self, candidates: DataFrame, query_col: str = "query",
                 text_col: str = "text") -> DataFrame:

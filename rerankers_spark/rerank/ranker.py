@@ -42,9 +42,11 @@ from rerankers_spark.results import Document, RankedResults, Result
 # Scorer registry — mirrors AVAILABLE_RANKERS (reference models/__init__.py)
 # ---------------------------------------------------------------------------
 
-# name -> factory() -> pandas-series scorer fn(query: pd.Series, text:
-# pd.Series) -> pd.Series[float64]. Wrapped into a pandas_udf at use time.
-AVAILABLE_SCORERS: dict[str, Callable[[], Callable]] = {}
+# name -> factory(model_name=None) -> pandas-series scorer fn(query:
+# pd.Series, text: pd.Series) -> pd.Series[float64]. Wrapped into a
+# pandas_udf at use time; model_name picks the checkpoint for the
+# model-backed families.
+AVAILABLE_SCORERS: dict[str, Callable[..., Callable]] = {}
 
 
 def register_scorer(name: str):
@@ -56,7 +58,7 @@ def register_scorer(name: str):
 
 
 @register_scorer("stub")
-def _stub_scorer():
+def _stub_scorer(model_name: Optional[str] = None):
     """Deterministic test scorer (FIXTURES.md §3): no model download.
     score = -|len(text) - len(query)| — higher when lengths are closer."""
 
@@ -67,7 +69,7 @@ def _stub_scorer():
 
 
 @register_scorer("overlap")
-def _overlap_scorer():
+def _overlap_scorer(model_name: Optional[str] = None):
     """Lexical-overlap scorer: |query_terms ∩ doc_terms| / |query_terms|.
     A deterministic, vectorized stand-in with cross-encoder-like shape."""
     from rerankers_spark.functions.tokenize import tokenize_py
@@ -84,7 +86,7 @@ def _overlap_scorer():
 
 
 @register_scorer("cross-encoder")
-def _cross_encoder_scorer():
+def _cross_encoder_scorer(model_name: Optional[str] = None):
     """Real cross-encoder (reference models/transformer_ranker.py:57-103).
     Requires torch+transformers on executors; loads once per worker."""
     try:
@@ -99,7 +101,7 @@ def _cross_encoder_scorer():
             "'stub'/'overlap' in environments without them"
         ) from e
 
-    model_name = "mixedbread-ai/mxbai-rerank-base-v1"
+    model_name = model_name or "mixedbread-ai/mxbai-rerank-base-v1"
     tok = AutoTokenizer.from_pretrained(model_name)
     model = AutoModelForSequenceClassification.from_pretrained(model_name)
     model.eval()
@@ -126,38 +128,354 @@ def _cross_encoder_scorer():
     return score
 
 
-# Model-family × lang → concrete default, analog of the reference's
-# DEFAULTS table + _get_defaults (reranker.py:7-52, 171-194). Families
-# resolve to in-sandbox scorers; model-backed names keep their HF ids so
-# a torch-equipped deployment loads the real checkpoint.
+@register_scorer("t5")
+def _t5_scorer(model_name: Optional[str] = None):
+    """Pointwise T5 scorer (reference models/t5ranker.py:187-296): format
+    'Query: ... Document: ... Relevant:', one greedy decode step, softmax
+    over the [false, true] token logits → P(true). Score extraction is
+    model_math.t5_scores (tested offline); torch only runs the forward."""
+    try:
+        import torch  # noqa: F401
+        from transformers import AutoModelForSeq2SeqLM, AutoTokenizer
+    except ImportError as e:  # pragma: no cover - sandbox has no torch
+        raise ImportError(
+            "t5 scorer needs torch+transformers; use scorer='stub'/"
+            "'overlap' in environments without them"
+        ) from e
+
+    from rerankers_spark.rerank import model_math as mm
+
+    model_name = model_name or "unicamp-dl/InRanker-base"
+    tok = AutoTokenizer.from_pretrained(model_name)
+    model = AutoModelForSeq2SeqLM.from_pretrained(model_name)
+    model.eval()
+    token_false, token_true = mm.get_output_tokens(model_name)
+    false_id = token_false if isinstance(token_false, int) \
+        else tok.convert_tokens_to_ids(token_false)
+    true_id = token_true if isinstance(token_true, int) \
+        else tok.convert_tokens_to_ids(token_true)
+
+    def score(query: pd.Series, text: pd.Series) -> pd.Series:  # pragma: no cover
+        import torch
+
+        prompts = [
+            mm.T5_INPUTS_TEMPLATE.format(query=q, text=t)
+            for q, t in zip(query, text)
+        ]
+        with torch.inference_mode():
+            enc = tok(prompts, padding=True, truncation="longest_first",
+                      return_tensors="pt", max_length=512)
+            # single greedy decode step (reference _greedy_decode,
+            # t5ranker.py:253-296, length=1, return_last_logits)
+            dec = torch.full(
+                (enc["input_ids"].size(0), 1),
+                model.config.decoder_start_token_id, dtype=torch.long)
+            logits = model(
+                input_ids=enc["input_ids"],
+                attention_mask=enc["attention_mask"],
+                decoder_input_ids=dec,
+            ).logits[:, -1, :]
+            fl = logits[:, false_id].float().cpu().numpy()
+            tl = logits[:, true_id].float().cpu().numpy()
+        return pd.Series(mm.t5_scores(fl, tl), dtype="float64")
+
+    return score
+
+
+@register_scorer("colbert")
+def _colbert_scorer(model_name: Optional[str] = None):
+    """ColBERT late-interaction scorer (reference models/
+    colbert_ranker.py:196-213, 280-325): encode query with dynamic
+    MASK-augmented length, docs with batch-dynamic max length, normalize
+    token embeddings, MaxSim. The interaction math is
+    model_math.colbert_maxsim / colbert_query_length /
+    colbert_doc_max_length (tested offline); torch only embeds."""
+    try:
+        import torch  # noqa: F401
+        from transformers import AutoModel, AutoTokenizer
+    except ImportError as e:  # pragma: no cover - sandbox has no torch
+        raise ImportError(
+            "colbert scorer needs torch+transformers; use scorer='stub'/"
+            "'overlap' in environments without them"
+        ) from e
+
+    from rerankers_spark.rerank import model_math as mm
+
+    model_name = model_name or "colbert-ir/colbertv2.0"
+    tok = AutoTokenizer.from_pretrained(model_name)
+    model = AutoModel.from_pretrained(model_name)
+    model.eval()
+    query_token_id = tok.convert_tokens_to_ids("[unused0]")
+    doc_token_id = tok.convert_tokens_to_ids("[unused1]")
+
+    def _embed(texts, marker_id, is_query):  # pragma: no cover
+        import torch
+
+        enc = tok(texts, return_tensors="pt", padding=True,
+                  truncation=True, max_length=511)
+        ids = torch.cat(
+            [enc["input_ids"][:, :1],
+             torch.full((len(texts), 1), marker_id, dtype=torch.long),
+             enc["input_ids"][:, 1:]], dim=1)
+        mask = torch.cat(
+            [enc["attention_mask"][:, :1],
+             torch.ones(len(texts), 1, dtype=torch.long),
+             enc["attention_mask"][:, 1:]], dim=1)
+        if is_query:
+            # MASK-augment each query to its dynamic QLEN
+            # (reference colbert_ranker.py:140-171)
+            qlen = mm.colbert_query_length(int(mask.sum(1).max()))
+            pad = qlen - ids.size(1)
+            if pad > 0:
+                ids = torch.nn.functional.pad(
+                    ids, (0, pad), value=tok.mask_token_id)
+                mask = torch.nn.functional.pad(mask, (0, pad), value=0)
+        with torch.inference_mode():
+            embs = model(input_ids=ids,
+                         attention_mask=mask).last_hidden_state
+        embs = embs / embs.norm(dim=-1, keepdim=True)
+        return embs.float().cpu().numpy(), mask.cpu().numpy()
+
+    def score(query: pd.Series, text: pd.Series) -> pd.Series:  # pragma: no cover
+        import numpy as np
+
+        out = np.zeros(len(query), dtype=np.float64)
+        qarr = query.to_numpy()
+        for q in pd.unique(query):
+            sel = np.nonzero(qarr == q)[0]
+            q_reps, q_mask = _embed([str(q)], query_token_id, True)
+            p_reps, p_mask = _embed(
+                [str(t) for t in text.iloc[sel]], doc_token_id, False)
+            out[sel] = mm.colbert_maxsim(q_reps, p_reps, q_mask, p_mask)[0]
+        return pd.Series(out, dtype="float64")
+
+    return score
+
+
+@register_scorer("llm-layerwise")
+def _llm_layerwise_scorer(model_name: Optional[str] = None):
+    """Layerwise-LLM scorer (reference models/llm_layerwise_ranker.py:
+    118-183): prompt 'Predict whether passage B contains an answer to
+    query A', cutoff-layer head scores, last token of the last layer
+    (model_math.layerwise_scores)."""
+    try:
+        import torch  # noqa: F401
+        from transformers import AutoModelForCausalLM, AutoTokenizer  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "llm-layerwise scorer needs torch+transformers; use scorer="
+            "'stub'/'overlap' in environments without them"
+        ) from e
+    raise NotImplementedError(  # pragma: no cover
+        "llm-layerwise needs the BAAI gemma2-lightweight trust-remote-code "
+        "head; score extraction is model_math.layerwise_scores"
+    )
+
+
+@register_scorer("upr")
+def _upr_scorer(model_name: Optional[str] = None):
+    """UPR query-likelihood scorer (reference models/upr.py:108-175):
+    'Passage: {text}. Please write a question based on this passage.' →
+    sum of gold query-token log-probs (model_math.upr_scores)."""
+    try:
+        import torch  # noqa: F401
+        from transformers import AutoModelForSeq2SeqLM, AutoTokenizer
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "upr scorer needs torch+transformers; use scorer='stub'/"
+            "'overlap' in environments without them"
+        ) from e
+
+    from rerankers_spark.rerank import model_math as mm
+
+    model_name = model_name or "google/t5-large-lm-adapt"
+    tok = AutoTokenizer.from_pretrained(model_name)
+    model = AutoModelForSeq2SeqLM.from_pretrained(model_name)
+    model.eval()
+
+    def score(query: pd.Series, text: pd.Series) -> pd.Series:  # pragma: no cover
+        import torch
+
+        prompts = [
+            f"Passage: {t}. Please write a question based on this passage."
+            for t in text
+        ]
+        with torch.inference_mode():
+            enc = tok(prompts, padding=True, truncation=True,
+                      max_length=512, return_tensors="pt")
+            dec = tok(list(query), padding=True, truncation=True,
+                      max_length=128, return_tensors="pt")
+            logits = model(input_ids=enc.input_ids,
+                           attention_mask=enc.attention_mask,
+                           labels=dec.input_ids).logits
+            log_probs = torch.nn.functional.log_softmax(logits, dim=-1)
+            tlp = log_probs.gather(
+                -1, dec.input_ids.unsqueeze(-1)).squeeze(-1)
+        return pd.Series(mm.upr_scores(tlp.float().cpu().numpy()),
+                         dtype="float64")
+
+    return score
+
+
+@register_scorer("mxbaiv2")
+def _mxbai_v2_scorer(model_name: Optional[str] = None):
+    """MxBai rerank v2 scorer (reference models/mxbai_v2.py:236-357):
+    chat-template query/doc prompt, score = pos-token logit minus
+    neg-token logit at the final position (model_math.mxbai_v2_scores)."""
+    try:
+        import torch  # noqa: F401
+        from transformers import AutoModelForCausalLM, AutoTokenizer
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "mxbaiv2 scorer needs torch+transformers; use scorer='stub'/"
+            "'overlap' in environments without them"
+        ) from e
+
+    from rerankers_spark.rerank import model_math as mm
+
+    model_name = model_name or "mixedbread-ai/mxbai-rerank-base-v2"
+    tok = AutoTokenizer.from_pretrained(model_name)
+    model = AutoModelForCausalLM.from_pretrained(model_name)
+    model.eval()
+    pos_id = tok.convert_tokens_to_ids("1")
+    neg_id = tok.convert_tokens_to_ids("0")
+
+    def score(query: pd.Series, text: pd.Series) -> pd.Series:  # pragma: no cover
+        import torch
+
+        prompts = [
+            f"query: {q}\ndocument: {t}\nRelevant (0/1):"
+            for q, t in zip(query, text)
+        ]
+        with torch.inference_mode():
+            enc = tok(prompts, padding=True, truncation=True,
+                      max_length=8192, return_tensors="pt")
+            logits = model(**enc).logits[:, -1, :].float().cpu().numpy()
+        return pd.Series(mm.mxbai_v2_scores(logits, pos_id, neg_id),
+                         dtype="float64")
+
+    return score
+
+
+@register_scorer("pylate")
+def _pylate_scorer(model_name: Optional[str] = None):
+    """PyLate multi-vector scorer family (reference models/
+    pylate_ranker.py): gated on the pylate package."""
+    try:
+        from pylate import models, rank  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "pylate scorer needs the pylate package; use scorer='colbert' "
+            "(same late-interaction math) or 'stub'/'overlap'"
+        ) from e
+    raise NotImplementedError  # pragma: no cover
+
+
+@register_scorer("monovlm")
+def _monovlm_scorer(model_name: Optional[str] = None):
+    """MonoVLM image scorer (reference models/monovlm_ranker.py): needs a
+    vision-language model; out of scope in a text-only deployment."""
+    raise ImportError(
+        "monovlm scores image documents with a VLM checkpoint; this "
+        "deployment is text-only — see sources/multimodal.py for the "
+        "binary-column feature pipeline"
+    )
+
+
+# Model-family × lang → concrete default — full port of the reference's
+# DEFAULTS table (reranker.py:7-52), plus the in-sandbox test families.
 DEFAULTS: dict[str, dict[str, str]] = {
     "stub": {"en": "stub", "other": "stub"},
     "overlap": {"en": "overlap", "other": "overlap"},
+    "jina": {"en": "jina-reranker-v1-base-en"},
+    "isaacus": {"en": "kanon-universal-classifier"},
+    "pinecone": {"en": "pinecone-rerank-v0"},
+    "cohere": {"en": "rerank-english-v3.0",
+               "other": "rerank-multilingual-v3.0"},
+    "voyage": {"en": "rerank-lite-1"},
+    "mixedbread.ai": {"en": "mixedbread-ai/mxbai-rerank-large-v1"},
     "cross-encoder": {
         "en": "mixedbread-ai/mxbai-rerank-base-v1",
+        "fr": "antoinelouis/crossencoder-camembert-base-mmarcoFR",
+        "zh": "BAAI/bge-reranker-base",
         "other": "corrius/cross-encoder-mmarco-mMiniLMv2-L12-H384-v1",
     },
+    "t5": {"en": "unicamp-dl/InRanker-base",
+           "other": "unicamp-dl/mt5-base-mmarco-v2"},
+    "lit5": {"en": "castorini/LiT5-Distill-base"},
+    "rankgpt": {"en": "gpt-4-turbo-preview", "other": "gpt-4-turbo-preview"},
+    "rankgpt3": {"en": "gpt-3.5-turbo", "other": "gpt-3.5-turbo"},
+    "rankgpt4": {"en": "gpt-4", "other": "gpt-4"},
+    "rankllm": {"en": "rank_zephyr", "other": "rank_zephyr"},
+    "colbert": {
+        "en": "colbert-ir/colbertv2.0",
+        "fr": "bclavie/FraColBERTv2",
+        "ja": "bclavie/JaColBERTv2",
+        "es": "AdrienB134/ColBERTv2.0-spanish-mmarcoES",
+    },
+    "flashrank": {"en": "ms-marco-MiniLM-L-12-v2",
+                  "other": "ms-marco-MultiBERT-L-12"},
+    "text-embeddings-inference": {"other": "BAAI/bge-reranker-base"},
+    "llm-layerwise": {
+        "en": "BAAI/bge-reranker-v2.5-gemma2-lightweight",
+        "other": "BAAI/bge-reranker-v2.5-gemma2-lightweight",
+    },
+    "monovlm": {"en": "lightonai/MonoQwen2-VL-v0.1",
+                "other": "lightonai/MonoQwen2-VL-v0.1"},
+    "llm-relevance-filter": {"en": "gpt-4-turbo-preview",
+                             "other": "gpt-4-turbo-preview"},
+    "upr": {"en": "google/t5-large-lm-adapt"},
+    "mxbaiv2": {"en": "mixedbread-ai/mxbai-rerank-base-v2"},
+    "pylate": {"en": "lightonai/GTE-ModernColBERT-v1",
+               "other": "lightonai/GTE-ModernColBERT-v1"},
 }
 
 
 def get_defaults(family: str, lang: str = "en") -> str:
     """Family+lang → concrete model name (reference reranker.py:171-194:
-    unknown lang falls back to the 'other' entry)."""
+    unknown lang falls back to the 'other' entry; a family with no
+    'other' raises where the reference prints-and-returns-None)."""
     table = DEFAULTS[family]
-    return table.get(lang, table["other"])
+    if lang in table:
+        return table[lang]
+    if "other" not in table:
+        raise ValueError(
+            f"model family {family!r} has no default for language "
+            f"{lang!r} and no 'other' fallback"
+        )
+    return table["other"]
 
 
-# Keyword → scorer-type mapping, analog of reference reranker.py:92-169.
+# Keyword → scorer-type mapping, port of reference reranker.py:117-145
+# (substring match in order; first hit wins). 'rerank' stays LAST so the
+# v2 mxbai ids and provider names match their own entries first.
 _MODEL_TYPE_KEYWORDS = [
     ("stub", "stub"),
     ("overlap", "overlap"),
-    ("rankgpt", "listwise"),
+    ("lit5", "listwise"),
+    ("t5", "t5"),
+    ("inranker", "t5"),
     ("rankllm", "listwise"),
+    ("rankgpt", "listwise"),
+    ("gpt", "listwise"),
     ("listwise", "listwise"),
-    ("colbert", "cross-encoder"),
+    ("colbert", "colbert"),
     ("cross-encoder", "cross-encoder"),
-    ("t5", "cross-encoder"),
+    ("ms-marco-minilm-l-12-v2", "flashrank"),
+    ("ms-marco-multibert-l-12", "flashrank"),
     ("flashrank", "flashrank"),
+    ("vicuna", "listwise"),
+    ("zephyr", "listwise"),
+    ("bge-reranker-v2.5-gemma2-lightweight", "llm-layerwise"),
+    ("llm-layerwise", "llm-layerwise"),
+    ("monovlm", "monovlm"),
+    ("monoqwen2-vl", "monovlm"),
+    ("llm-relevance-filter", "llm-relevance-filter"),
+    ("upr", "upr"),
+    ("mxbaiv2", "mxbaiv2"),
+    ("mxbai-rerank-base-v2", "mxbaiv2"),
+    ("mxbai-rerank-large-v2", "mxbaiv2"),
+    ("pylate", "pylate"),
     ("rerank", "cross-encoder"),
 ]
 
@@ -176,50 +494,77 @@ def _flashrank_scorer():
     raise NotImplementedError  # pragma: no cover
 
 
-#: substring-matched API providers (reference reranker.py:71-90); API
-#: scorers need network access — absent here, the registry entry raises.
-PROVIDERS = ["cohere", "jina", "voyage", "mixedbread.ai", "pinecone", "isaacus"]
+#: substring-matched API providers (reference reranker.py:71)
+PROVIDERS = ["cohere", "jina", "voyage", "mixedbread.ai", "pinecone",
+             "isaacus", "text-embeddings-inference"]
 
 
 def _get_api_provider(model_name: str,
                       model_type: Optional[str] = None) -> Optional[str]:
-    """Reference _get_api_provider semantics: substring match on the
-    model name (or explicit type) against known providers."""
+    """Provider detection, port of reference reranker.py:73-90: an
+    explicit non-provider model_type suppresses detection; otherwise the
+    explicit provider type wins, then a provider substring in the model
+    name, then a DEFAULTS family whose default names embed a provider."""
+    if model_type is not None and model_type not in PROVIDERS:
+        return None
+    if model_type in PROVIDERS:
+        return model_type
     for p in PROVIDERS:
-        if p in (model_type or "").lower() or p in model_name.lower():
+        if p in model_name:
             return p
+    if model_name in DEFAULTS:
+        for p in PROVIDERS:
+            if any(p in v for v in DEFAULTS[model_name].values()):
+                return p
     return None
 
 
 @register_scorer("api")
-def _api_scorer():
-    """HTTP API scorer family (reference models/api_rankers.py:87-143).
-    Needs network + requests; per-partition connection reuse would live
-    in mapInPandas. Unavailable in this sandbox by design."""
+def _api_scorer(model_name: Optional[str] = None):
+    """Legacy registry gate: prefer get_reranker(), which returns a full
+    rerank.api.APIRanker (payload/parse logic, injectable transport)."""
     raise ImportError(
         "API scorers need network access (cohere/jina/voyage/...); "
-        "use a local scorer ('stub'/'overlap'/'cross-encoder') here"
+        "construct rerankers_spark.rerank.api.APIRanker directly (it "
+        "accepts an offline transport) or use a local scorer"
     )
 
 
 def get_reranker(model_name: str = "stub", model_type: Optional[str] = None,
-                 lang: str = "en", **kw):
-    """Unified factory (reference rerankers/reranker.py:196-247 returns a
-    DIFFERENT ranker class per model type): listwise names dispatch to
-    ListwiseReranker, everything else to the pointwise Reranker."""
-    # explicit non-provider model_type always wins (reference passes the
-    # explicit type through before provider-substring fallback)
-    explicit_known = model_type in AVAILABLE_SCORERS or model_type == "listwise"
-    if not explicit_known:
-        provider = _get_api_provider(model_name, model_type)
-        if provider is not None:
-            return Reranker(model_name, model_type="api", lang=lang, **kw)
+                 lang: str = "en", verbose: int = 1, **kw):
+    """Unified factory, port of the reference Reranker() function
+    (reranker.py:196-247): API providers → APIRanker, listwise names →
+    ListwiseReranker, llm-relevance-filter → LLMRelevanceFilter,
+    everything else → the pointwise Reranker."""
+    original = model_name
+    api_provider = _get_api_provider(model_name, model_type)
+    if api_provider or model_name.lower() in PROVIDERS:
+        if model_name.lower() in PROVIDERS:
+            # bare provider name → provider's default model
+            # (reference reranker.py:206-218)
+            api_provider = model_name.lower()
+            model_name = get_defaults(api_provider, lang)
+    elif original in DEFAULTS:
+        model_name = get_defaults(original, lang)
+        api_provider = _get_api_provider(model_name, model_type)
+    if api_provider:
+        from rerankers_spark.rerank.api import APIRanker
+
+        return APIRanker(model_name, api_key=kw.pop("api_key", ""),
+                         api_provider=api_provider, verbose=verbose, **kw)
     mtype = _get_model_type(model_name, model_type)
     if mtype == "listwise":
         from rerankers_spark.rerank.listwise import ListwiseReranker
 
         return ListwiseReranker(**kw)
-    return Reranker(model_name, model_type=mtype, lang=lang, **kw)
+    if mtype == "llm-relevance-filter":
+        from rerankers_spark.rerank.relevance_filter import (
+            LLMRelevanceFilter,
+        )
+
+        return LLMRelevanceFilter(model_name, verbose=verbose, **kw)
+    return Reranker(model_name, model_type=mtype, lang=lang,
+                    verbose=verbose, **kw)
 
 
 def _get_model_type(model_name: str, explicit: Optional[str]) -> str:
@@ -276,6 +621,77 @@ def prep_docs(
     return out
 
 
+def _looks_like_image(data: bytes) -> bool:
+    """PIL verify when available; magic-byte check otherwise (PIL is not
+    in this sandbox — the fallback keeps prep_image_docs' base64-vs-path
+    classification deterministic and testable)."""
+    try:
+        import io
+
+        from PIL import Image
+
+        try:
+            Image.open(io.BytesIO(data)).verify()
+            return True
+        except Exception:
+            return False
+    except ImportError:
+        return data.startswith(
+            (b"\x89PNG", b"\xff\xd8\xff", b"GIF8", b"RIFF", b"BM"))
+
+
+def prep_image_docs(
+    docs: DocsInput,
+    doc_ids: Optional[Sequence[Union[str, int]]] = None,
+    metadata: Optional[Sequence[dict]] = None,
+) -> List[Document]:
+    """Image-document preparation (reference utils.py:123-189): Document
+    inputs must already be image-typed; string inputs are classified as
+    base64 (decodes AND verifies as an image) or a file path (read and
+    base64-encoded); ids/metadata assigned positionally."""
+    import base64 as b64mod
+    import binascii
+
+    if isinstance(docs, Document) or (
+        isinstance(docs, (list, tuple)) and docs
+        and isinstance(docs[0], Document)
+    ):
+        if isinstance(docs, Document):
+            docs = [docs]
+        for d in docs:
+            if d.document_type != "image":
+                raise ValueError("All documents must be of type 'image'")
+        return prep_docs(docs, doc_ids, metadata)
+
+    if isinstance(docs, str):
+        docs = [docs]
+    processed: List[Document] = []
+    for doc in docs:
+        try:
+            decoded = b64mod.b64decode(doc, validate=True)
+            if not _looks_like_image(decoded):
+                raise binascii.Error("Invalid image data")
+            b64, image_path = doc, None
+        except (binascii.Error, ValueError):
+            try:
+                image_path = doc
+                with open(doc, "rb") as img_file:
+                    b64 = b64mod.b64encode(img_file.read()).decode("utf-8")
+            except Exception as e:
+                raise ValueError(
+                    f"Could not process image input {doc}: {e}") from e
+        processed.append(
+            Document(document_type="image", base64=b64,
+                     image_path=image_path))
+
+    ids = doc_ids if doc_ids is not None else list(range(len(processed)))
+    metas = metadata if metadata is not None else [{} for _ in processed]
+    for d, i, m in zip(processed, ids, metas):
+        d.doc_id = i
+        d.metadata = m
+    return processed
+
+
 # ---------------------------------------------------------------------------
 # Reranker
 # ---------------------------------------------------------------------------
@@ -306,7 +722,12 @@ class Reranker:
                 f"unknown scorer {self.model_type!r}; available: "
                 f"{sorted(AVAILABLE_SCORERS)}"
             )
-        self._factory = AVAILABLE_SCORERS[self.model_type]
+        from functools import partial
+
+        # bind the checkpoint name now; factory() stays zero-arg for the
+        # UDF closure (model-backed families load it per executor task)
+        self._factory = partial(AVAILABLE_SCORERS[self.model_type],
+                                self.model_name)
         self._spark = spark
         self.verbose = verbose
 

@@ -23,10 +23,14 @@ from typing import Iterator, List, Optional, Union
 
 
 class Document:
-    """Text document (image documents are out of scope for this engine;
-    reference field surface: rerankers/documents.py:5-12)."""
+    """Text or image document — full reference field surface
+    (rerankers/documents.py:4-24: text/base64/image_path/doc_id/metadata/
+    document_type, text required only for text documents). Image PAYLOAD
+    processing lives in sources/multimodal.py; these fields carry the
+    per-document pointers the reference API exposes."""
 
-    _attrs = ("text", "doc_id", "metadata", "document_type")
+    _attrs = ("text", "base64", "image_path", "doc_id", "metadata",
+              "document_type")
 
     def __init__(
         self,
@@ -34,16 +38,31 @@ class Document:
         doc_id: Optional[Union[str, int]] = None,
         metadata: Optional[dict] = None,
         document_type: str = "text",
+        image_path: Optional[str] = None,
+        base64: Optional[str] = None,
     ) -> None:
         if document_type == "text" and text is None:
-            raise ValueError("text is required for text documents")
+            raise ValueError(
+                "text field is required when document_type is 'text'")
+        self.attributes = list(self._attrs)
+        self.document_type = document_type
         self.text = text
+        self.base64 = base64
+        self.image_path = image_path
         self.doc_id = doc_id
         self.metadata = metadata if metadata is not None else {}
-        self.document_type = document_type
 
     def __repr__(self) -> str:  # pragma: no cover
-        return f"Document(doc_id={self.doc_id!r}, text={self.text!r})"
+        fields = {
+            "text": self.text,
+            "doc_id": self.doc_id,
+            "metadata": self.metadata,
+            "document_type": self.document_type,
+            "image_path": self.image_path,
+            "base64": self.base64,
+        }
+        field_str = ", ".join(f"{k}={v!r}" for k, v in fields.items())
+        return f"Document({field_str})"
 
 
 class Result:

@@ -42,6 +42,14 @@ class Catalog:
             return self.spark.table(f"{self.catalog_name}.{name}")
         return self.spark.read.parquet(self._path(name))
 
+    def table_exists(self, name: str) -> bool:
+        if self.catalog_name:
+            return self.spark.catalog.tableExists(
+                f"{self.catalog_name}.{name}")
+        import os
+
+        return os.path.exists(self._path(name))
+
     def writer(self, df: DataFrame, name: str, mode: str = "overwrite",
                partition_by: list[str] | None = None):
         w: DataFrameWriter = df.write.mode(mode)

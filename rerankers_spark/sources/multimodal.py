@@ -110,6 +110,25 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+def image_docs_to_df(spark: SparkSession, docs) -> DataFrame:
+    """Bridge from the reference image-Document API (prep_image_docs,
+    utils.py:123-189) to the Spark binary-column shape: each Document's
+    base64 payload becomes the binary column, image_path/doc metadata go
+    to the meta map. The result feeds extract_features directly."""
+    import base64 as b64mod
+
+    rows = []
+    for d in docs:
+        if d.document_type != "image":
+            raise ValueError("All documents must be of type 'image'")
+        payload = b64mod.b64decode(d.base64) if d.base64 else b""
+        meta = {str(k): str(v) for k, v in (d.metadata or {}).items()}
+        if d.image_path:
+            meta["image_path"] = d.image_path
+        rows.append((int(d.doc_id), "image", bytearray(payload), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def synthetic_media(spark: SparkSession, n: int = 20) -> DataFrame:
     """Deterministic fake media table for tests."""
     rows = []

@@ -12,7 +12,7 @@ ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
 
 
 def test_rows_only_set_is_expected():
-    assert ROWS_ONLY == ["ivf_ann_topk", "lsh_ann_topk",
+    assert ROWS_ONLY == ["ann_recall", "ivf_ann_topk", "lsh_ann_topk",
                          "multimodal_features"]
 
 
@@ -23,4 +23,4 @@ def test_rows_only_entries_run_and_are_deterministic(spark, name, sf_dir):
     rows1 = sorted(tuple(r) for r in df1.collect())
     rows2 = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
     assert rows1 == rows2, f"{name} is nondeterministic"
-    assert len(df1.columns) >= 3
+    assert len(df1.columns) >= 2

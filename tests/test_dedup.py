@@ -101,6 +101,36 @@ def test_ngram_jaccard(docs):
     assert (1, 4) not in pairs
 
 
+def test_lsh_then_jaccard_equals_pruned_exact(docs):
+    """lsh_then_jaccard == exact all-pairs jaccard restricted to LSH
+    candidates (identical values for surviving pairs, never extra pairs)."""
+    cand = {(r["doc_a"], r["doc_b"])
+            for r in dedup.lsh_candidate_pairs(docs).collect()}
+    exact = {(r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+             for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    fused = {(r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+             for r in dedup.lsh_then_jaccard(docs).collect()}
+    want = {p: v for p, v in exact.items() if p in cand}
+    assert fused.keys() == want.keys()
+    for p in want:
+        assert fused[p][0] == want[p][0]
+        assert fused[p][1] == pytest.approx(want[p][1], abs=1e-12)
+    # the exact dup (1,2) survives the LSH pruning with jaccard 1.0
+    assert fused[(1, 2)][1] == pytest.approx(1.0)
+
+
+def test_lsh_then_jaccard_plan_has_no_raw_shingle_selfjoin(docs):
+    """The verify join keys include doc_b — a join on shingle ALONE
+    (the O(Σ df²) pattern) must not appear in the optimized plan."""
+    plan = dedup.lsh_then_jaccard(docs)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    import re
+
+    for cond in re.findall(r"Join Inner, \((.*?)\)\n", plan):
+        if "shingle" in cond:
+            assert "doc_" in cond, f"raw shingle self-join: {cond}"
+
+
 def test_winnowing_fingerprints(docs):
     fps = {}
     for r in dedup.winnowing_fingerprints(docs).collect():
