@@ -96,6 +96,9 @@ def run(sf_dir: str, cpus: int, index_root: str = "/tmp/bench_index"):
     engine.rank(q50, corpus, first_k=100, final_k=10, mode="auto").count()
     timings["q_two_stage"] = time.perf_counter() - t0
 
+    from rerankers_spark.index.spimi import index_stats
+
+    stats = index_stats(spark, engine.paths)
     result = {
         "n_docs": n_docs,
         "timings": timings,
@@ -104,6 +107,8 @@ def run(sf_dir: str, cpus: int, index_root: str = "/tmp/bench_index"):
         "bmw_rows": n_bmw,
         "n_queries": n_queries,
         "cpus": cpus,
+        "index_compression_ratio": stats["compression_ratio"],
+        "index_vb_bytes": stats["vb_bytes"],
     }
     spark.stop()
     return result
@@ -125,6 +130,7 @@ def main() -> None:
         "docs_per_sec_index_build": round(r["docs_per_sec_index_build"], 1),
         "queries_per_sec_bmw": round(r["queries_per_sec_bmw"], 1),
         "cpus": cpus,
+        "index_compression_ratio": r["index_compression_ratio"],
     }))
 
 

@@ -379,6 +379,30 @@ def load_meta(spark: SparkSession, paths: IndexPaths) -> dict:
     return r.asDict()
 
 
+def index_stats(spark: SparkSession, paths: IndexPaths) -> dict:
+    """Diagnostics: compressed block bytes vs raw posting bytes (a
+    posting is 3 int64s uncompressed: doc_id, tf, dl). This scans the
+    binary columns — a deliberate full read for reporting, NOT on any
+    query path (query-path scans prune binaries via column projection)."""
+    r = paths.read(spark, "blocks").agg(
+        F.sum(
+            F.length("docs_vb") + F.length("tfs_vb") + F.length("dls_vb")
+        ).alias("vb_bytes"),
+        F.sum("n").cast("long").alias("n_postings"),
+        F.count("*").alias("n_blocks"),
+    ).collect()[0]
+    raw_bytes = 24 * int(r["n_postings"] or 0)
+    vb_bytes = int(r["vb_bytes"] or 0)
+    return {
+        "n_postings": int(r["n_postings"] or 0),
+        "n_blocks": int(r["n_blocks"] or 0),
+        "vb_bytes": vb_bytes,
+        "raw_bytes": raw_bytes,
+        "compression_ratio": round(raw_bytes / vb_bytes, 3)
+        if vb_bytes else None,
+    }
+
+
 def append_index(
     spark: SparkSession,
     new_corpus: DataFrame,

@@ -481,17 +481,39 @@ _MODEL_TYPE_KEYWORDS = [
 
 
 @register_scorer("flashrank")
-def _flashrank_scorer():
-    """ONNX scorer family (reference models/flashrank_ranker.py:32-64).
-    Gated: onnxruntime/flashrank are not in this sandbox."""
+def _flashrank_scorer(model_name: Optional[str] = None):
+    """ONNX scorer family (reference models/flashrank_ranker.py:32-64):
+    passages → RerankRequest → per-passage scores by request id. Gated:
+    onnxruntime/flashrank are not in this sandbox, but the dispatch is
+    real — with the package installed this loads and scores."""
     try:
-        from flashrank import Ranker  # noqa: F401
+        from flashrank import Ranker, RerankRequest
     except ImportError as e:  # pragma: no cover
         raise ImportError(
             "flashrank scorer needs the flashrank package; use "
             "scorer='stub'/'overlap' in environments without it"
         ) from e
-    raise NotImplementedError  # pragma: no cover
+
+    model = Ranker(model_name=model_name or "ms-marco-MiniLM-L-12-v2")
+
+    def score(query: pd.Series, text: pd.Series) -> pd.Series:  # pragma: no cover
+        import numpy as np
+
+        out = np.zeros(len(query), dtype=np.float64)
+        qarr = query.to_numpy()
+        for q in pd.unique(query):
+            sel = np.nonzero(qarr == q)[0]
+            passages = [
+                {"id": int(i), "text": str(text.iloc[i])} for i in sel
+            ]
+            # flashrank returns reranked order; map back by request id
+            # (reference flashrank_ranker.py:44-54)
+            for r in model.rerank(RerankRequest(query=str(q),
+                                                passages=passages)):
+                out[int(r["id"])] = float(r["score"])
+        return pd.Series(out, dtype="float64")
+
+    return score
 
 
 #: substring-matched API providers (reference reranker.py:71)
