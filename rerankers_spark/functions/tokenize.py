@@ -31,6 +31,13 @@ from pyspark.sql.types import ArrayType, LongType, StringType
 
 #: Java/DuckDB/Python-compatible split pattern (the frozen spec).
 TOKEN_SPLIT_RE = "[^a-z0-9_]+"
+#: findall-form of the same spec: runs of the token alphabet. Equivalent
+#: to split(TOKEN_SPLIT_RE) minus empty strings (property-tested).
+#: (A fully-vectorized findall+factorize postings builder was measured
+#: against the per-doc Counter loop on the 800k corpus and LOST — the
+#: all-at-once token materialization is bandwidth-bound where the
+#: doc-at-a-time loop stays cache-local — so the builder keeps the loop.)
+TOKEN_FINDALL_RE = "[a-z0-9_]+"
 MAX_TOKEN_LEN = 64
 
 _PY_RE = re.compile(TOKEN_SPLIT_RE)

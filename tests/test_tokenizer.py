@@ -52,6 +52,54 @@ def test_python_tokenizer_properties(s):
         assert t == t.lower()
 
 
+@settings(max_examples=50, deadline=None)
+@given(st.text(max_size=300))
+def test_findall_form_equals_split_form(s):
+    """TOKEN_FINDALL_RE (used by the vectorized index builder) must be
+    exactly split(TOKEN_SPLIT_RE) minus empties, before the length cap."""
+    import re
+
+    from rerankers_spark.functions.tokenize import (
+        TOKEN_FINDALL_RE,
+        TOKEN_SPLIT_RE,
+    )
+
+    low = s.lower()
+    via_split = [t for t in re.split(TOKEN_SPLIT_RE, low) if t]
+    via_findall = re.findall(TOKEN_FINDALL_RE, low)
+    assert via_split == via_findall
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.text(max_size=120), min_size=0, max_size=8))
+def test_postings_map_matches_python_oracle(texts):
+    """The vectorized _postings_map agrees with tokenize_py + Counter on
+    arbitrary content (including None, empty, all-delimiter strings)."""
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    from rerankers_spark.index.spimi import _postings_map
+
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "shard_id": np.arange(len(texts), dtype=np.int32) % 3,
+        "content": pd.Series(texts, dtype="object"),
+    })
+    got = pd.concat(list(_postings_map(iter([pdf]))), ignore_index=True)
+    got_set = {
+        (r.term, r.doc_id, r.dl, r.tf, r.shard_id)
+        for r in got.itertuples()
+    }
+    want = set()
+    for i, text in enumerate(texts):
+        toks = tokenize_py(text)
+        for term, tf in Counter(toks).items():
+            want.add((term, i, len(toks), tf, i % 3))
+    assert got_set == want
+
+
 def test_null_content(spark):
     df = spark.createDataFrame([(None,)], "content string")
     row = df.select(tokenize_col("content").alias("toks")).collect()[0]
