@@ -89,3 +89,34 @@ def test_wand_safe_bounds_randomized(seed):
                               bound_mode="safe")
     expected = sorted(truth.items(), key=lambda t: (-t[1], t[0]))[:10]
     assert list(out["doc_id"]) == [d for d, _ in expected], f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_dense_kernel_matches_wand(seed):
+    """The in-kernel dense fallback (_exhaustive_single) must agree with
+    _wand_single on doc order exactly and on scores to float-sum
+    reassociation, across tie-rich and skip-rich shapes."""
+    rng = np.random.default_rng(500 + seed)
+    avgdl = float(rng.uniform(20, 150))
+    universe = (
+        np.arange(0, 300, dtype=np.int64)
+        if seed % 2
+        else rng.choice(10**12, size=2000, replace=False).astype(np.int64)
+    )
+    n_terms = int(rng.integers(1, 6))
+    pdf, truth = _mk_blocks(rng, n_terms, universe, avgdl,
+                            block_size=int(rng.choice([1, 16, 128])))
+    k = int(rng.integers(1, 20))
+    terms = {t: bmw._TermData(t, g, avgdl) for t, g in pdf.groupby("term")}
+    q_terms = [(terms[t], float(g["idf"].iloc[0]))
+               for t, g in pdf.groupby("term")]
+    dense = bmw._exhaustive_single(q_terms, k, avgdl)
+    cursors = [bmw._TermCursor(d, idf, avgdl) for d, idf in q_terms]
+    wand = bmw._wand_single(cursors, k)
+    assert [d for _, d in dense] == [d for _, d in wand], f"seed={seed}"
+    np.testing.assert_allclose(
+        [s for s, _ in dense], [s for s, _ in wand], rtol=0, atol=1e-9
+    )
+    # and against the independent truth dict
+    expected = sorted(truth.items(), key=lambda t: (-t[1], t[0]))[:k]
+    assert [-d for _, d in dense] == [d for d, _ in expected]
