@@ -705,6 +705,104 @@ FROM sess GROUP BY 1, 2
 """
 
 
+def q_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of events_sessionize: the same events run
+    through the applyInPandasWithState operator as a real
+    Structured-Streaming query (availableNow), with a far-future
+    sentinel event whose watermark flushes every held session. Closed
+    sessions must agree with the batch/DuckDB definition — a custom
+    stateful streaming op under the full oracle gate."""
+    import glob
+    import shutil
+    import tempfile
+    import uuid
+
+    from rerankers_spark.streaming.stateful import stateful_sessionize
+
+    tmp = tempfile.mkdtemp(prefix=f"sess_stream_{uuid.uuid4().hex[:8]}_")
+    in_dir, ckpt = f"{tmp}/in", f"{tmp}/ckpt"
+    import os
+
+    os.makedirs(in_dir)
+    for f in glob.glob(f"{sf_dir}/events.parquet/*.parquet") or [
+        f"{sf_dir}/events.parquet"
+    ]:
+        if os.path.isfile(f):
+            shutil.copy(f, f"{in_dir}/{os.path.basename(f)}")
+    from datetime import timedelta
+
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    max_ts = spark.read.parquet(f"{sf_dir}/events.parquet").agg(
+        F.max("ts")).collect()[0][0]
+    # one far-future sentinel row (user -1, filtered out below) whose
+    # watermark provably flushes every real session; field values chosen
+    # by name so the entry tracks the driver's events schema
+    defaults = {"event_id": -1, "user_id": -1,
+                "ts": max_ts + timedelta(days=30),
+                "event_type": "x", "value": 0.0, "props": ""}
+    row = tuple(defaults.get(f.name) for f in ev_schema.fields)
+    spark.createDataFrame([row], ev_schema).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{tmp}/sentinel")
+    for f in glob.glob(f"{tmp}/sentinel/*.parquet"):
+        shutil.copy(f, f"{in_dir}/zz_{os.path.basename(f)}")
+
+    # watermarks need TIMESTAMP (the driver table is TIMESTAMP_NTZ)
+    stream = spark.readStream.schema(ev_schema).parquet(in_dir) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    name = f"sess_ct_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_sessionize(stream)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    out = (
+        spark.table(name)
+        .where(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_end"),
+            "n_events",
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+    )
+    # materialize before the temp dir goes away
+    result = spark.createDataFrame(out.collect(), out.schema) \
+        if out.count() else out
+    shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
+_SQL_STATEFUL_SESSIONIZE = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN prev IS NULL
+                   OR date_diff('second', prev, ts) >= 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM lagged),
+sess AS (
+  SELECT user_id, ts, value,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_id
+  FROM flagged)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
 def q_semi_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -791,6 +889,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "embedding_centroids": (q_embedding_centroids, _SQL_CENTROIDS),
     "events_hourly": (q_events_hourly, _SQL_EVENTS_HOURLY),
     "events_sessionize": (q_events_sessionize, _SQL_SESSIONIZE),
+    "stateful_sessionize_stream": (q_stateful_sessionize,
+                                   _SQL_STATEFUL_SESSIONIZE),
     "semi_join_segments": (
         q_semi_join_segments,
         "SELECT c_mktsegment, count(*)::BIGINT AS n_customers FROM customer "
