@@ -771,8 +771,7 @@ def q_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # materialize before the temp dir goes away
-    result = spark.createDataFrame(out.collect(), out.schema) \
-        if out.count() else out
+    result = spark.createDataFrame(out.collect(), out.schema)
     shutil.rmtree(tmp, ignore_errors=True)
     return result
 

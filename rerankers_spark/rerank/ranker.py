@@ -230,9 +230,17 @@ def _colbert_scorer(model_name: Optional[str] = None):
                 ids = torch.nn.functional.pad(
                     ids, (0, pad), value=tok.mask_token_id)
                 mask = torch.nn.functional.pad(mask, (0, pad), value=0)
+        # micro-batched encode + L2 normalize (reference _to_embs,
+        # colbert_ranker.py:384-396)
+        batch_size = 32
         with torch.inference_mode():
-            embs = model(input_ids=ids,
-                         attention_mask=mask).last_hidden_state
+            parts = [
+                model(input_ids=ids[i:i + batch_size],
+                      attention_mask=mask[i:i + batch_size])
+                .last_hidden_state
+                for i in range(0, ids.size(0), batch_size)
+            ]
+            embs = torch.cat(parts, dim=0)
         embs = embs / embs.norm(dim=-1, keepdim=True)
         return embs.float().cpu().numpy(), mask.cpu().numpy()
 

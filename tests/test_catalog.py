@@ -32,6 +32,21 @@ def test_iceberg_gate_is_honest(spark):
     assert cat.catalog_name is None  # fell back to parquet mode
 
 
+def test_index_stats_compression(spark, tiny_corpus, tmp_path):
+    import shutil
+
+    from rerankers_spark.index.spimi import build_index, index_stats
+
+    path = str(tmp_path / "idx")
+    shutil.rmtree(path, ignore_errors=True)
+    paths = build_index(spark, tiny_corpus, path, n_shards=4)
+    stats = index_stats(spark, paths)
+    assert stats["n_postings"] > 0
+    assert stats["raw_bytes"] == 24 * stats["n_postings"]
+    assert 0 < stats["vb_bytes"] < stats["raw_bytes"]
+    assert stats["compression_ratio"] > 1.0
+
+
 def test_index_paths_io_goes_through_catalog(spark, tmp_path):
     paths = IndexPaths(str(tmp_path))
     df = spark.createDataFrame([(0, 5)], "shard_id int, n long")
