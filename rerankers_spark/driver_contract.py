@@ -459,6 +459,26 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivf_topk(q, e, cents, k=10, nprobe=3)
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact mode (all-pairs oracle
+    shape); the LSH mode's recall is tracked by ann_recall."""
+    e = ann.with_double_vec(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return ann.cosine_near_dup_pairs(e, threshold=0.4, mode="exact")
+
+
+_SQL_EMBEDDING_NEAR_DUP = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+p AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         round(list_dot_product(a.vec, b.vec) /
+               (sqrt(list_dot_product(a.vec, a.vec)) *
+                sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT doc_a, doc_b, cosine FROM p WHERE cosine >= 0.4
+"""
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(method, recall_at_10): approximation quality of the ANN paths vs
     the exact cosine baseline, tracked per round (rows-only — recall is a
@@ -870,6 +890,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "lsh_ann_topk": (q_lsh_ann_topk, None),
     "ivf_ann_topk": (q_ivf_ann_topk, None),
     "ann_recall": (q_ann_recall, None),
+    "embedding_near_dup": (q_embedding_near_dup, _SQL_EMBEDDING_NEAR_DUP),
     "multimodal_features": (q_multimodal_features, None),
     "minhash_signatures": (q_minhash_signatures, _sql_minhash()),
     "simhash": (q_simhash, _sql_simhash()),

@@ -144,6 +144,56 @@ def lsh_cosine_topk(
                 score_col="cosine", id_col=item_id)
 
 
+def cosine_near_dup_pairs(
+    items: DataFrame,
+    threshold: float = 0.9,
+    mode: str = "lsh",
+    item_id: str = "vec_id",
+    n_planes: int = 4,
+    dim: int = 64,
+    n_tables: int = 8,
+) -> DataFrame:
+    """(doc_a, doc_b, cosine): embedding-cosine near-duplicate pairs —
+    the embedding leg of the dedup suite (exact/minhash/simhash/jaccard
+    live in operators/dedup.py).
+
+    mode='lsh' (the 100-TB path): candidates only from multi-table
+    hyperplane buckets, then exact re-scoring ≥ threshold — recall < 1
+    by design, rising with n_tables. mode='exact': broadcast cross join,
+    the all-pairs oracle shape (only for corpora whose smaller side fits
+    a broadcast)."""
+    a = items.select(F.col(item_id).alias("doc_a"),
+                     F.col("vec").alias("avec"))
+    b = items.select(F.col(item_id).alias("doc_b"),
+                     F.col("vec").alias("bvec"))
+    if mode == "exact":
+        cand = b.crossJoin(F.broadcast(a))
+    elif mode == "lsh":
+        for t in range(n_tables):
+            planes = hyperplanes(dim, n_planes, seed=42 + t)
+            a = lsh_signature(a, planes, "avec").withColumnRenamed(
+                "sig", f"sig{t}")
+            b = lsh_signature(b, planes, "bvec").withColumnRenamed(
+                "sig", f"sig{t}")
+        sigs = [f"sig{t}" for t in range(n_tables)]
+        ax = a.select("doc_a", "avec",
+                      F.posexplode(F.array(*sigs)).alias("table", "sig"))
+        bx = b.select("doc_b", "bvec",
+                      F.posexplode(F.array(*sigs)).alias("table", "sig"))
+        cand = bx.join(ax, ["table", "sig"]) \
+            .dropDuplicates(["doc_a", "doc_b"])
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    cos = _dot(F.col("avec"), F.col("bvec")) / (
+        _norm(F.col("avec")) * _norm(F.col("bvec"))
+    )
+    return (
+        cand.where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def kmeans_centroids(items: DataFrame, n_centroids: int = 16,
                      n_iter: int = 5, vec_col: str = "vec",
                      dim: int = 64, sample_size: int = 4096,

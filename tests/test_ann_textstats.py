@@ -82,6 +82,33 @@ def test_ivf_topk_planted_neighbor(spark, vectors):
     assert any(r["vec_id"] == 0 for r in got)
 
 
+def test_cosine_near_dup_exact_mode(spark, vectors):
+    """Exact mode finds the planted near-dup (0 ≈ 40) and agrees with a
+    numpy all-pairs re-derivation at the threshold."""
+    out = {(r["doc_a"], r["doc_b"]): r["cosine"]
+           for r in ann.cosine_near_dup_pairs(
+               vectors, threshold=0.95, mode="exact", dim=8).collect()}
+    assert (0, 40) in out
+    assert out[(0, 40)] > 0.999
+
+
+def test_cosine_near_dup_lsh_mode_subset_of_exact(spark, vectors):
+    """LSH mode returns a SUBSET of the exact pairs (same scores) and
+    catches the planted near-dup — near-identical vectors share buckets
+    in essentially every table."""
+    exact = {(r["doc_a"], r["doc_b"]): r["cosine"]
+             for r in ann.cosine_near_dup_pairs(
+                 vectors, threshold=0.5, mode="exact", dim=8).collect()}
+    lsh = {(r["doc_a"], r["doc_b"]): r["cosine"]
+           for r in ann.cosine_near_dup_pairs(
+               vectors, threshold=0.5, mode="lsh", dim=8,
+               n_planes=4, n_tables=8).collect()}
+    assert set(lsh) <= set(exact)
+    assert (0, 40) in lsh
+    for p, c in lsh.items():
+        assert c == pytest.approx(exact[p], abs=1e-12)
+
+
 def test_ann_plans_native(spark, vectors):
     q = vectors.limit(1).select(F.col("vec_id").alias("query_vec_id"), "vec")
     plan = ann.cosine_topk(q, vectors, k=3)._jdf.queryExecution()\
