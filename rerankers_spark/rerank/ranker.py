@@ -327,9 +327,13 @@ def _upr_scorer(model_name: Optional[str] = None):
 
 @register_scorer("mxbaiv2")
 def _mxbai_v2_scorer(model_name: Optional[str] = None):
-    """MxBai rerank v2 scorer (reference models/mxbai_v2.py:236-357):
-    chat-template query/doc prompt, score = pos-token logit minus
-    neg-token logit at the final position (model_math.mxbai_v2_scores)."""
+    """MxBai rerank v2 scorer: score = pos-token logit minus neg-token
+    logit at the final position (model_math.mxbai_v2_scores, reference
+    mxbai_v2.py:355-356). Prompt assembly here is a SIMPLIFIED
+    query/document template — the reference's full chat template with
+    3/4-query 1/4-doc token budgets (mxbai_v2.py:239-320) is checkpoint-
+    specific and belongs with a real tokenizer; plug it in by replacing
+    the prompt builder below."""
     try:
         import torch  # noqa: F401
         from transformers import AutoModelForCausalLM, AutoTokenizer
