@@ -222,6 +222,39 @@ def q_bm25_topk_bmw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk(rounded, 10).select("query_id", "doc_id", "rank", "score")
 
 
+def q_bm25_topk_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed query set through the WORST-CASE index lifecycle: build
+    on half the corpus, incrementally append the other half (a second
+    generation with append-safe loose bounds), then compact_index back to
+    one exact-bound generation — and the answers must STILL hash-match
+    the from-scratch DuckDB BM25 oracle. Gates spimi.append_index +
+    spimi.compact_index end-to-end under the full SQL oracle."""
+    import os
+    import shutil
+
+    from rerankers_spark.index.spimi import (
+        append_index,
+        build_index,
+        compact_index,
+    )
+    from rerankers_spark.query import bmw as bmw_mod
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    idx = f"/tmp/contract_index_compact_{tag}"
+    shutil.rmtree(idx, ignore_errors=True)
+    half = corpus.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+    rest = corpus.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1)
+    paths = build_index(spark, half, idx, n_shards=8)
+    append_index(spark, rest, idx)
+    compact_index(spark, idx)
+    raw = bmw_mod.bmw_topk(spark, _queries_df(spark), paths, k=50)
+    rounded = raw.select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
+    )
+    return topk(rounded, 10).select("query_id", "doc_id", "rank", "score")
+
+
 # -- dedup / similarity / text-analysis entries -------------------------------
 
 _SQL_SHINGLES = f"""
@@ -885,6 +918,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
         "FROM lineitem GROUP BY 1, 2",
     ),
     "bm25_topk_bmw": (q_bm25_topk_bmw, _SQL_BM25_TOPK),
+    "bm25_topk_compacted": (q_bm25_topk_compacted, _SQL_BM25_TOPK),
     "lsh_candidate_pairs": (q_lsh_candidate_pairs, _sql_lsh_pairs()),
     "simhash_near_pairs": (q_simhash_near_pairs, _sql_simhash_pairs()),
     "lsh_ann_topk": (q_lsh_ann_topk, None),

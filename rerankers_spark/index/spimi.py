@@ -452,7 +452,13 @@ def append_index(
         "termstats", mode="overwrite")
     _write_scalars(spark, paths, n_docs, avgdl, n_shards, generation=gen)
 
-    new_manifest = dt.groupBy("shard_id").agg(
+    new_manifest = _manifest_from_docstats(dt)
+    paths.write(new_manifest, "manifest", mode="append")
+    return paths
+
+
+def _manifest_from_docstats(dt: DataFrame) -> DataFrame:
+    return dt.groupBy("shard_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
         F.expr(
@@ -467,5 +473,115 @@ def append_index(
         F.lit("ok").alias("status"), F.lit(0.0).alias("wall_time"),
     ).select("shard_id", "n_docs", "n_postings", "n_blocks", "sum_dl",
              "sha256_xor", "status", "wall_time")
-    paths.write(new_manifest, "manifest", mode="append")
+
+
+def _decode_blocks_map(batches: Iterable[pd.DataFrame]
+                       ) -> Iterable[pd.DataFrame]:
+    """Block rows → raw (term, doc_id, dl, tf) posting rows (shard_id is
+    re-derived downstream). Inverse of _build_shard_blocks, numpy per
+    block, one concat per Arrow batch."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        terms, docs, tfs, dls = [], [], [], []
+        for row in pdf.itertuples(index=False):
+            d = vb.delta_decode(row.docs_vb, base=int(row.first_doc))
+            terms.append(np.repeat(np.array([row.term], dtype=object),
+                                   len(d)))
+            docs.append(d)
+            tfs.append(vb.decode(row.tfs_vb))
+            dls.append(vb.decode(row.dls_vb))
+        yield pd.DataFrame({
+            "term": np.concatenate(terms),
+            "doc_id": np.concatenate(docs).astype(np.int64),
+            "dl": np.concatenate(dls).astype(np.int64),
+            "tf": np.concatenate(tfs).astype(np.int64),
+        })
+
+
+def compact_index(spark: SparkSession, path: str) -> IndexPaths:
+    """Merge every generation back into a single generation-0 layout.
+
+    Index-only: postings are recovered by DECODING the existing blocks —
+    the corpus is never re-read or re-tokenized (at scale the compressed
+    index is ~8× smaller than the text, so this is one cheap pass over
+    the index, not a rebuild). Rows are re-sharded by
+    ``pmod(xxhash64(doc_id), n_shards)`` and re-blocked under the CURRENT
+    global avgdl, so:
+
+    * ``max_tfsat`` is exact again → query-time WAND switches back from
+      the looser append-safe ``(max_tf, min_dl)`` bound to the tightest
+      'exact' bound mode (bmw.block_bounds), restoring skip efficiency
+      that incremental appends (append_index) progressively erode;
+    * the shard count drops from ``(generation+1) * n_shards`` back to
+      ``n_shards`` — streaming ingest at 100 TB otherwise accretes tiny
+      generation shards (small files + scheduler overhead).
+
+    Decoded postings are materialized to a staging table first so the
+    blocks/docstats overwrite never reads its own output (works for both
+    parquet paths and an Iceberg catalog). Invariants (test-asserted):
+    query results are IDENTICAL pre/post (BM25 depends only on global
+    stats, never on shard membership), n_docs/avgdl/termstats totals and
+    the manifest's global sha256-xor lineage are preserved.
+    """
+    paths = IndexPaths(path)
+    meta = load_meta(spark, paths)
+    n_shards = int(meta["n_shards"])
+    n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
+    cat = paths.catalog(spark)
+
+    t0 = time.time()
+    postings = (
+        paths.read(spark, "blocks")
+        .select("term", "first_doc", "docs_vb", "tfs_vb", "dls_vb")
+        .mapInPandas(_decode_blocks_map, "term string, doc_id long, "
+                                         "dl long, tf long")
+        .withColumn("shard_id", F.pmod(F.xxhash64("doc_id"),
+                                       F.lit(n_shards)).cast("int"))
+        .select("shard_id", "term", "doc_id", "dl", "tf")
+    )
+    paths.write(postings, "compact_postings", mode="overwrite")
+
+    blocks = paths.read(spark, "compact_postings").groupBy(
+        "shard_id").applyInPandas(
+        lambda pdf: _build_shard_blocks(pdf, avgdl), BLOCKS_SCHEMA)
+    paths.write(blocks, "blocks", mode="overwrite",
+                partition_by=["shard_id"])
+
+    # docstats: same rows, re-sharded (staging breaks the self-read)
+    ds = paths.read(spark, "docstats").withColumn(
+        "shard_id", F.pmod(F.xxhash64("doc_id"),
+                           F.lit(n_shards)).cast("int"))
+    paths.write(ds, "compact_docstats", mode="overwrite")
+    paths.write(paths.read(spark, "compact_docstats"), "docstats",
+                mode="overwrite")
+
+    wall = time.time() - t0
+    new_ds = paths.read(spark, "docstats")
+    block_meta = paths.read(spark, "blocks").groupBy("shard_id").agg(
+        F.sum("n").cast("long").alias("n_postings"),
+        F.count("*").alias("n_blocks"),
+    )
+    manifest = (
+        new_ds.groupBy("shard_id").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+            F.expr(
+                "bit_xor(cast(conv(substring(content_sha256,1,15),16,10) "
+                "as bigint))"
+            ).alias("sha256_xor"),
+        )
+        .join(block_meta, "shard_id", "left")
+        .na.fill({"n_postings": 0, "n_blocks": 0})
+        .select(
+            "shard_id", "n_docs", "n_postings", "n_blocks", "sum_dl",
+            "sha256_xor",
+            F.lit("ok").alias("status"),
+            F.lit(float(wall)).alias("wall_time"),
+        )
+    )
+    paths.write(manifest, "manifest", mode="overwrite")
+    _write_scalars(spark, paths, n_docs, avgdl, n_shards, generation=0)
+    cat.drop_table("compact_postings")
+    cat.drop_table("compact_docstats")
     return paths

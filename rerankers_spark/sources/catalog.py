@@ -64,3 +64,11 @@ class Catalog:
             w.saveAsTable(f"{self.catalog_name}.{name}")
         else:
             w.parquet(self._path(name))
+
+    def drop_table(self, name: str) -> None:
+        if self.catalog_name:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.catalog_name}.{name}")
+        else:
+            import shutil
+
+            shutil.rmtree(self._path(name), ignore_errors=True)

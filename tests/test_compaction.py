@@ -1,0 +1,122 @@
+"""Index compaction: generations → single generation-0 layout.
+
+Invariants under test (spimi.compact_index docstring):
+* query results identical before/after compaction AND to a from-scratch
+  full build (BM25 depends only on global stats, never shard membership);
+* generation resets to 0 → bmw switches back to exact max_tfsat bounds;
+* n_docs/avgdl, termstats df totals, and the global sha256-xor lineage
+  are preserved; shard ids collapse back under n_shards.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from rerankers_spark.corpus import synthetic_corpus_pdf, with_doc_id
+from rerankers_spark.index import spimi
+from rerankers_spark.query.executor import Engine
+from tests.oracle import BM25Oracle
+
+BASE = "/tmp/test_compact_index"
+
+
+@pytest.fixture(scope="module")
+def compacted(spark):
+    pdf = synthetic_corpus_pdf(500)
+    shutil.rmtree(BASE, ignore_errors=True)
+    first = with_doc_id(spark.createDataFrame(pdf.iloc[:300]))
+    second = with_doc_id(spark.createDataFrame(pdf.iloc[300:]))
+    spimi.build_index(spark, first, BASE, n_shards=4)
+    spimi.append_index(spark, second, BASE)
+
+    eng = Engine(spark, BASE)
+    q = spark.createDataFrame(
+        [(0, "common_util"), (1, "def return class"), (2, "rareterm_0")],
+        "query_id long, query string",
+    )
+    before = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in eng.search(q, k=10, mode="bmw").collect()
+    )
+    ts_before = {r["term"]: r["df"] for r in
+                 spark.read.parquet(f"{BASE}/termstats").collect()}
+    spimi.compact_index(spark, BASE)
+    return pdf, q, before, ts_before
+
+
+def test_compaction_preserves_results(spark, compacted):
+    pdf, q, before, _ = compacted
+    eng = Engine(spark, BASE)
+    after = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in eng.search(q, k=10, mode="bmw").collect()
+    )
+    assert after == before
+
+    full = with_doc_id(spark.createDataFrame(pdf))
+    rows = full.select("doc_id", "content").collect()
+    oracle = BM25Oracle([r["doc_id"] for r in rows],
+                        [r["content"] for r in rows])
+    by_q = {}
+    for qid, rank, doc, score in after:
+        by_q.setdefault(qid, []).append((doc, score))
+    for qid, qtext in [(0, "common_util"), (1, "def return class"),
+                       (2, "rareterm_0")]:
+        expected = oracle.topk(qtext, k=10)
+        assert [d for d, _ in by_q[qid]] == [d for d, _ in expected]
+        for (_, got_s), (_, exp_s) in zip(by_q[qid], expected):
+            assert got_s == pytest.approx(exp_s, abs=1e-9)
+
+
+def test_compaction_resets_generation_and_shards(spark, compacted):
+    meta = spimi.load_meta(spark, spimi.IndexPaths(BASE))
+    assert meta["generation"] == 0
+    assert meta["n_docs"] == 500
+    shard_ids = [
+        r["shard_id"] for r in spark.read.parquet(f"{BASE}/blocks")
+        .select("shard_id").distinct().collect()
+    ]
+    assert shard_ids and all(0 <= s < meta["n_shards"] for s in shard_ids)
+    # docstats re-sharded consistently with blocks
+    ds_shards = [
+        r["shard_id"] for r in spark.read.parquet(f"{BASE}/docstats")
+        .select("shard_id").distinct().collect()
+    ]
+    assert all(0 <= s < meta["n_shards"] for s in ds_shards)
+    # staging dropped
+    import os
+
+    assert not os.path.exists(f"{BASE}/compact_postings")
+    assert not os.path.exists(f"{BASE}/compact_docstats")
+
+
+def test_compaction_preserves_stats_and_lineage(spark, compacted):
+    _, _, _, ts_before = compacted
+    ts_after = {r["term"]: r["df"] for r in
+                spark.read.parquet(f"{BASE}/termstats").collect()}
+    assert ts_after == ts_before
+
+    man = spark.read.parquet(f"{BASE}/manifest")
+    agg = man.agg(
+        F.sum("n_docs").alias("n"),
+        F.expr("bit_xor(sha256_xor)").alias("x"),
+        F.sum("sum_dl").alias("sdl"),
+    ).collect()[0]
+    assert agg["n"] == 500
+    # global xor over shards is invariant under re-sharding: recompute
+    # from docstats directly
+    ds_x = spark.read.parquet(f"{BASE}/docstats").agg(
+        F.expr(
+            "bit_xor(cast(conv(substring(content_sha256,1,15),16,10) "
+            "as bigint))"
+        ).alias("x"),
+        F.sum("dl").alias("sdl"),
+    ).collect()[0]
+    assert agg["x"] == ds_x["x"]
+    assert agg["sdl"] == ds_x["sdl"]
+    assert man.where(F.col("status") != "ok").count() == 0
+    # per-shard block stats present (not NULL like append-generation rows)
+    assert man.where(F.col("n_postings").isNull()).count() == 0
