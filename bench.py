@@ -76,25 +76,47 @@ def run(sf_dir: str, cpus: int, index_root: str = "/tmp/bench_index"):
     # at different parallelism levels stay comparable; small corpora get
     # fewer shards to avoid pure-overhead tasks.
     n_shards = 64 if n_docs >= 100_000 else 16
-    t0 = time.perf_counter()
-    engine = Engine.build(spark, corpus, index_path,
-                          n_shards=n_shards, scorer="overlap")
-    timings["q_index_build"] = time.perf_counter() - t0
+
+    # Best-of-R per phase (default 2): this sandbox's shared virtio disk
+    # has EXTERNAL IO-contention spikes (CLAUDE.md perf notes; observed
+    # 1-row parquet writes going 0.2s → 6s), and a single sample can
+    # record a spike instead of the engine. Identical work each repeat;
+    # min is the standard contention-robust estimator.
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", 2)))
+
+    def best_of(fn) -> float:
+        return min(fn() for _ in range(repeats))
+
+    def build_once() -> float:
+        shutil.rmtree(index_path, ignore_errors=True)
+        t0 = time.perf_counter()
+        Engine.build(spark, corpus, index_path,
+                     n_shards=n_shards, scorer="overlap")
+        return time.perf_counter() - t0
+
+    timings["q_index_build"] = best_of(build_once)
+    engine = Engine(spark, index_path, scorer="overlap")
 
     n_queries = int(os.environ.get("BENCH_QUERIES", 50))
     q50 = synthetic_queryset(spark, n_queries)
 
-    t0 = time.perf_counter()
-    n_bmw = engine.search(q50, k=10, mode="bmw").count()
-    timings["q_bmw_queryset50"] = time.perf_counter() - t0
+    def timed(fn) -> float:
+        t0 = time.perf_counter()
+        fn()
+        return time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    engine.search(q50, k=10, mode="exhaustive").count()
-    timings["q_exhaustive_queryset50"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    engine.rank(q50, corpus, first_k=100, final_k=10, mode="auto").count()
-    timings["q_two_stage"] = time.perf_counter() - t0
+    bmw_counts: list[int] = []
+    timings["q_bmw_queryset50"] = best_of(
+        lambda: timed(lambda: bmw_counts.append(
+            engine.search(q50, k=10, mode="bmw").count())))
+    n_bmw = bmw_counts[-1]
+    timings["q_exhaustive_queryset50"] = best_of(
+        lambda: timed(
+            lambda: engine.search(q50, k=10, mode="exhaustive").count()))
+    timings["q_two_stage"] = best_of(
+        lambda: timed(
+            lambda: engine.rank(q50, corpus, first_k=100, final_k=10,
+                                mode="auto").count()))
 
     from rerankers_spark.index.spimi import index_stats
 

@@ -293,29 +293,36 @@ def build_index(
     )
 
     # ---- global stats (full corpus, independent of resume state) ----------
+    # N and avgdl are observed DURING the docstats write (one action, no
+    # read-back-and-aggregate job between the two corpus passes).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Observation
+
     dt = corpus.select(
         "doc_id", "shard_id", "content_sha256",
         token_count_pandas_udf(F.col("content")).alias("dl"),
     )
     if not (resume and paths.exists(spark, "docstats")):
-        paths.write(dt, "docstats", mode="overwrite")
-    docstats = paths.read(spark, "docstats")
-    # one pass for scalars AND the per-shard manifest stats (the shard agg
-    # subsumes the global one — avoids a second docstats scan+job later)
-    shard_stats = docstats.groupBy("shard_id").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("dl").cast("long").alias("sum_dl"),
-        F.expr(
-            "bit_xor(cast(conv(substring(content_sha256,1,15),16,10) "
-            "as bigint))"
-        ).alias("sha256_xor"),
-    ).cache()
-    totals = shard_stats.agg(
-        F.sum("n_docs").alias("n"),
-        (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
-    ).collect()[0]
-    n_docs, avgdl = int(totals["n"]), float(totals["avgdl"])
-    _write_scalars(spark, paths, n_docs, avgdl, n_shards, generation=0)
+        obs = Observation("corpus_totals")
+        paths.write(
+            dt.observe(obs, F.count(F.lit(1)).alias("n"),
+                       F.avg("dl").alias("avgdl")),
+            "docstats", mode="overwrite")
+        n_docs, avgdl = int(obs.get["n"]), float(obs.get["avgdl"])
+    else:
+        row = paths.read(spark, "docstats").agg(
+            F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+        n_docs, avgdl = int(row["n"]), float(row["avgdl"])
+
+    # Independent writes overlap on a threaded scheduler: the scalars
+    # write (tiny, but a full commit-protocol round-trip on a loaded
+    # store) runs while the wide postings stage builds. Same pattern for
+    # the termstats/manifest pair below — on a real cluster these are
+    # separate concurrent jobs sharing the executor pool.
+    pool = ThreadPoolExecutor(max_workers=2)
+    scalars_f = pool.submit(_write_scalars, spark, paths, n_docs, avgdl,
+                            n_shards, 0)
 
     # ---- postings for not-yet-done shards ----------------------------------
     todo = corpus.where(~F.col("shard_id").isin(list(done))) if done else corpus
@@ -329,33 +336,52 @@ def build_index(
                 partition_by=["shard_id"])
     wall = time.time() - t0
 
-    # ---- termstats + manifest block stats: ONE narrow scan of the block
-    # metadata columns (term, n, shard_id — parquet prunes the binary
-    # payload columns), cached, two cheap aggs -------------------------------
+    # ---- termstats + manifest: ONE narrow scan of the block metadata
+    # columns (term, n, shard_id — parquet prunes the binary payload
+    # columns), cached, then the two independent aggs+writes run
+    # concurrently ----------------------------------------------------------
     all_blocks_meta = paths.read(spark, "blocks").select(
         "shard_id", "term", "n"
     ).cache()
-    ts = all_blocks_meta.groupBy("term").agg(
-        F.sum("n").cast("long").alias("df")
-    )
-    paths.write(ts, "termstats", mode="overwrite")
+    all_blocks_meta.count()  # materialize once before the concurrent jobs
 
-    block_stats = all_blocks_meta.groupBy("shard_id").agg(
-        F.sum("n").cast("long").alias("n_postings"),
-        F.count("*").alias("n_blocks"),
-    )
-    manifest = (
-        shard_stats.join(block_stats, "shard_id", "left")
-        .na.fill({"n_postings": 0, "n_blocks": 0})
-        .select(
-            "shard_id", "n_docs", "n_postings", "n_blocks", "sum_dl",
-            "sha256_xor",
-            F.lit("ok").alias("status"),
-            F.lit(float(wall)).alias("wall_time"),
+    def _write_termstats():
+        ts = all_blocks_meta.groupBy("term").agg(
+            F.sum("n").cast("long").alias("df")
         )
-    )
-    paths.write(manifest, "manifest", mode="overwrite")
-    shard_stats.unpersist()
+        paths.write(ts, "termstats", mode="overwrite")
+
+    def _write_manifest():
+        shard_stats = paths.read(spark, "docstats").groupBy("shard_id").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+            F.expr(
+                "bit_xor(cast(conv(substring(content_sha256,1,15),16,10) "
+                "as bigint))"
+            ).alias("sha256_xor"),
+        )
+        block_stats = all_blocks_meta.groupBy("shard_id").agg(
+            F.sum("n").cast("long").alias("n_postings"),
+            F.count("*").alias("n_blocks"),
+        )
+        manifest = (
+            shard_stats.join(block_stats, "shard_id", "left")
+            .na.fill({"n_postings": 0, "n_blocks": 0})
+            .select(
+                "shard_id", "n_docs", "n_postings", "n_blocks", "sum_dl",
+                "sha256_xor",
+                F.lit("ok").alias("status"),
+                F.lit(float(wall)).alias("wall_time"),
+            )
+        )
+        paths.write(manifest, "manifest", mode="overwrite")
+
+    ts_f = pool.submit(_write_termstats)
+    mf_f = pool.submit(_write_manifest)
+    scalars_f.result()
+    ts_f.result()
+    mf_f.result()
+    pool.shutdown()
     all_blocks_meta.unpersist()
     return paths
 

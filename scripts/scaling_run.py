@@ -38,7 +38,10 @@ def _one(cpus: int, sf_dir: str) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus),
-             "SPARK_GRAFT_SF_DIR": sf_dir},
+             "SPARK_GRAFT_SF_DIR": sf_dir,
+             # alternating best-of-N across subprocesses already handles
+             # noise here; in-process repeats would double build time
+             "BENCH_REPEATS": os.environ.get("BENCH_REPEATS", "1")},
         capture_output=True, text=True, check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
