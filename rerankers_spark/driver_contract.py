@@ -255,6 +255,120 @@ def q_bm25_topk_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk(rounded, 10).select("query_id", "doc_id", "rank", "score")
 
 
+# Soft-delete fixture: a deterministic ~10% slice selectable in BOTH
+# engines (no xxhash64 in DuckDB).
+_DELETE_PRED_SQL = "abs(doc_id) % 10 = 3"
+
+
+def _delete_pred_col():
+    return F.abs(F.col("doc_id")) % 10 == 3
+
+
+def _sql_bm25_topk_lifecycle(purged: bool) -> str:
+    """BM25 oracle under the two delete states. purged=False: stats over
+    ALL docs, tombstoned docs excluded from candidates only (Lucene
+    deferred-stats semantics, spimi.delete_docs). purged=True: the
+    delete slice removed from the corpus entirely (post-compaction
+    semantics — identical to a fresh build on the survivors)."""
+    stats_where = f"WHERE NOT ({_DELETE_PRED_SQL})" if purged else ""
+    cand_where = ("" if purged
+                  else f"WHERE NOT (abs(p.doc_id) % 10 = 3)")
+    corpus_ctes = f"""
+toks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents {stats_where}),
+docstats AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM toks),
+scal AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM docstats),
+exploded AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+postings AS (SELECT term, doc_id, count(*)::DOUBLE AS tf
+             FROM exploded GROUP BY 1, 2),
+termstats AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1)
+"""
+    return f"""
+WITH q(query_id, query) AS (VALUES {_SQL_QUERY_VALUES}),
+{corpus_ctes},
+qterms AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id,
+           unnest(list_filter(regexp_split_to_array(lower(query),
+                 '[^a-z0-9_]+'), t -> t <> '' AND length(t) <= 64)) AS term
+    FROM q)
+),
+scored AS (
+  SELECT qt.query_id, p.doc_id,
+         round(sum( ln(1.0 + (s.n - ts.df + 0.5) / (ts.df + 0.5))
+              * (p.tf * 2.2)
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)) ), 4) AS score
+  FROM qterms qt
+  JOIN termstats ts USING (term)
+  JOIN postings p USING (term)
+  JOIN docstats d USING (doc_id)
+  CROSS JOIN scal s
+  {cand_where}
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rank, score FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 10
+"""
+
+
+def _bmw_rounded_top10(spark: SparkSession, paths) -> DataFrame:
+    from rerankers_spark.query import bmw as bmw_mod
+
+    raw = bmw_mod.bmw_topk(spark, _queries_df(spark), paths, k=50)
+    rounded = raw.select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
+    )
+    return topk(rounded, 10).select("query_id", "doc_id", "rank", "score")
+
+
+def q_bm25_topk_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deletes: build, tombstone ~10% of docs, query — deleted docs
+    must vanish from results while scores keep PRE-delete global stats
+    (deferred-stats semantics; the oracle computes stats over all docs
+    and filters candidates only)."""
+    import os
+    import shutil
+
+    from rerankers_spark.index.spimi import build_index, delete_docs
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    idx = f"/tmp/contract_index_del_{tag}"
+    shutil.rmtree(idx, ignore_errors=True)
+    paths = build_index(spark, corpus, idx, n_shards=8)
+    delete_docs(spark, idx, corpus.select("doc_id")
+                .where(_delete_pred_col()))
+    return _bmw_rounded_top10(spark, paths)
+
+
+def q_bm25_topk_delete_compacted(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """Delete then compact: the purge physically removes tombstoned
+    postings AND recomputes N/avgdl/df, so results must hash-match a
+    fresh DuckDB build over only the surviving docs."""
+    import os
+    import shutil
+
+    from rerankers_spark.index.spimi import (
+        build_index,
+        compact_index,
+        delete_docs,
+    )
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    idx = f"/tmp/contract_index_delcomp_{tag}"
+    shutil.rmtree(idx, ignore_errors=True)
+    paths = build_index(spark, corpus, idx, n_shards=8)
+    delete_docs(spark, idx, corpus.select("doc_id")
+                .where(_delete_pred_col()))
+    compact_index(spark, idx)
+    return _bmw_rounded_top10(spark, paths)
+
+
 # -- dedup / similarity / text-analysis entries -------------------------------
 
 _SQL_SHINGLES = f"""
@@ -919,6 +1033,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     ),
     "bm25_topk_bmw": (q_bm25_topk_bmw, _SQL_BM25_TOPK),
     "bm25_topk_compacted": (q_bm25_topk_compacted, _SQL_BM25_TOPK),
+    "bm25_topk_deleted": (q_bm25_topk_deleted,
+                          _sql_bm25_topk_lifecycle(purged=False)),
+    "bm25_topk_delete_compacted": (q_bm25_topk_delete_compacted,
+                                   _sql_bm25_topk_lifecycle(purged=True)),
     "lsh_candidate_pairs": (q_lsh_candidate_pairs, _sql_lsh_pairs()),
     "simhash_near_pairs": (q_simhash_near_pairs, _sql_simhash_pairs()),
     "lsh_ann_topk": (q_lsh_ann_topk, None),

@@ -169,8 +169,20 @@ class _TermCursor:
                 self._load(self.bi + 1)
 
 
-def _wand_single(cursors: list[_TermCursor], k: int) -> list[tuple[float, int]]:
-    """Core WAND loop: cursors → [(score, -doc_id)] top-k heap contents."""
+def _is_deleted(deleted: np.ndarray, doc: int) -> bool:
+    """Membership in a sorted tombstone array (binary search)."""
+    i = int(np.searchsorted(deleted, doc))
+    return i < len(deleted) and int(deleted[i]) == doc
+
+
+def _wand_single(cursors: list[_TermCursor], k: int,
+                 deleted: np.ndarray | None = None
+                 ) -> list[tuple[float, int]]:
+    """Core WAND loop: cursors → [(score, -doc_id)] top-k heap contents.
+
+    deleted: sorted tombstoned doc ids — excluded from the heap at
+    evaluation time (θ then only rises from surviving docs, so skipping
+    stays sound; a deleted doc costs one evaluation, never a result)."""
     cursors = [c for c in cursors if not c.exhausted]
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
 
@@ -206,15 +218,16 @@ def _wand_single(cursors: list[_TermCursor], k: int) -> list[tuple[float, int]]:
         if ub > th:
             if live[0].cur_doc() == pivot_doc:
                 # fully aligned → exact evaluation
-                s = 0.0
-                for c in live:
-                    if c.cur_doc() == pivot_doc:
-                        s += c.score_at_cur()
-                item = (s, -pivot_doc)
-                if len(heap) < k:
-                    heapq.heappush(heap, item)
-                elif item > heap[0]:
-                    heapq.heapreplace(heap, item)
+                if deleted is None or not _is_deleted(deleted, pivot_doc):
+                    s = 0.0
+                    for c in live:
+                        if c.cur_doc() == pivot_doc:
+                            s += c.score_at_cur()
+                    item = (s, -pivot_doc)
+                    if len(heap) < k:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
                 for c in live:
                     if c.cur_doc() == pivot_doc:
                         c.advance_one()
@@ -246,7 +259,8 @@ DENSE_DF_RATIO = 0.10
 
 
 def _exhaustive_single(
-    q_terms: list[tuple[_TermData, float]], k: int, avgdl: float
+    q_terms: list[tuple[_TermData, float]], k: int, avgdl: float,
+    deleted: np.ndarray | None = None,
 ) -> list[tuple[float, int]]:
     """Vectorized decode-and-score of every posting of the query's terms —
     the in-kernel dense path. Same output shape as _wand_single
@@ -273,6 +287,13 @@ def _exhaustive_single(
     uniq, inv = np.unique(all_docs, return_inverse=True)
     acc = np.zeros(len(uniq), dtype=np.float64)
     np.add.at(acc, inv, all_contrib)
+    if deleted is not None and len(uniq):
+        pos = np.searchsorted(deleted, uniq)
+        pos[pos >= len(deleted)] = len(deleted) - 1
+        keep = deleted[pos] != uniq
+        uniq, acc = uniq[keep], acc[keep]
+        if len(uniq) == 0:
+            return []
     if len(uniq) > k:
         # keep EVERY doc tied with the k-th score so the (score desc,
         # doc_id asc) tie-break below stays exact at the cut boundary
@@ -311,6 +332,7 @@ def wand_topk_shard(
     avgdl: float,
     bound_mode: str = "exact",
     n_docs_shard: float = 0.0,
+    deleted: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """One shard's blocks (the bucket's query terms, deduplicated) + the
     bucket's query list → per-query local top-k.
@@ -334,10 +356,10 @@ def wand_topk_shard(
             continue
         min_df = min(d.df for d, _ in present)
         if n_docs_shard > 0 and min_df > DENSE_DF_RATIO * n_docs_shard:
-            out = _exhaustive_single(present, k, avgdl)
+            out = _exhaustive_single(present, k, avgdl, deleted)
         else:
             cursors = [_TermCursor(d, idf, avgdl) for d, idf in present]
-            out = _wand_single(cursors, k)
+            out = _wand_single(cursors, k, deleted)
         for s, negd in out:
             qids.append(query_id)
             docs.append(-negd)
@@ -396,11 +418,19 @@ def bmw_topk(
     sized so shards × buckets covers the cluster. Block bytes for a term
     shared by several buckets are replicated per bucket — B trades
     shuffle volume for query parallelism.
+
+    Soft deletes: if a tombstones table exists (spimi.delete_docs), its
+    sorted id array is broadcast and excluded inside the kernels; global
+    stats stay pre-delete until compact_index purges (Lucene deferred-
+    stats semantics).
     """
-    from rerankers_spark.index.spimi import load_meta
+    from rerankers_spark.index.spimi import load_meta, load_tombstones
 
     if meta is None:
         meta = load_meta(spark, paths)
+    tomb = load_tombstones(spark, paths)
+    tomb_bc = (spark.sparkContext.broadcast(tomb)
+               if tomb is not None else None)
     if bound_mode is None:
         bound_mode = "safe" if int(meta.get("generation", 0)) > 0 else "exact"
     n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
@@ -459,7 +489,9 @@ def bmw_topk(
             q_map.setdefault(int(qid), []).append((str(t), float(idf)))
         q_list = sorted(q_map.items())
         return wand_topk_shard(bpdf, q_list, k, avgdl, bound_mode,
-                               n_docs_shard=n_docs / n_shards_total)
+                               n_docs_shard=n_docs / n_shards_total,
+                               deleted=(tomb_bc.value if tomb_bc is not None
+                                        else None))
 
     local = blocks_b.groupby("shard_id", "bucket").cogroup(
         q_side.groupby("shard_id", "bucket")

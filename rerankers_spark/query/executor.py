@@ -40,6 +40,22 @@ class Engine:
         self._termstats = None
         self._blocks = None
 
+    def delete(self, doc_ids: DataFrame) -> None:
+        """Soft-delete docs from the index (tombstones; see
+        spimi.delete_docs for the deferred-stats semantics). Queries on
+        this Engine exclude them immediately."""
+        from rerankers_spark.index.spimi import delete_docs
+
+        delete_docs(self.spark, self.paths.root, doc_ids)
+
+    def compact(self) -> None:
+        """Merge generations + purge tombstones (spimi.compact_index);
+        resets cached handles."""
+        from rerankers_spark.index.spimi import compact_index
+
+        compact_index(self.spark, self.paths.root)
+        self.refresh()
+
     def _handles(self):
         from rerankers_spark.index.spimi import load_meta
 
@@ -160,6 +176,14 @@ class Engine:
         scored = contrib.groupBy("query_id", "doc_id").agg(
             F.sum("contrib").alias("score")
         )
+        # soft deletes: set-oriented anti-join (this path never needs the
+        # kernel-side tombstone array — the exclusion is just a join)
+        if self.paths.exists(self.spark, "tombstones"):
+            scored = scored.join(
+                self.paths.read(self.spark, "tombstones")
+                .select("doc_id").distinct(),
+                "doc_id", "left_anti",
+            )
         return topk(scored, k)
 
     # -- driver-side facade ----------------------------------------------------
