@@ -23,7 +23,12 @@ def main(n_docs: int = 50_000, out_dir: str = "/tmp/sfbench") -> None:
                                             "content": "text",
                                             "repo": "source"})
     doc["n_chars"] = doc["text"].str.len()
-    doc[["doc_id", "text", "lang", "source", "n_chars"]].to_parquet(out)
+    # small row groups: a single-row-group file pins the Spark scan (and
+    # the repartition shuffle-write feeding every build stage) to ONE
+    # task — a hard serial stage that dominated the N-vs-4N scaling
+    # measurement. 12.5k rows ≈ 25 MB per group → 64 splits at 800k docs.
+    doc[["doc_id", "text", "lang", "source", "n_chars"]].to_parquet(
+        out, row_group_size=12_500)
     print(f"wrote {len(doc)} docs to {out}")
 
 

@@ -63,8 +63,10 @@ def run_levels(lo: int, hi: int, sf_dir: str, repeats: int = 3
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     levels = os.environ.get("SCALING_LEVELS", "8,32")
+    repeats = int(os.environ.get("SCALING_REPEATS", "3"))
+    out_name = os.environ.get("SCALING_OUT", "BENCH_SCALING.md")
     lo, hi = (int(x) for x in levels.split(","))
-    r_lo, r_hi = run_levels(lo, hi, sf_dir)
+    r_lo, r_hi = run_levels(lo, hi, sf_dir, repeats=repeats)
 
     def eff(metric: str) -> tuple[float, float, float]:
         a, b = r_lo[metric], r_hi[metric]
@@ -89,7 +91,7 @@ def main() -> None:
         "Efficiency = (throughput_4N / throughput_N) / 4. North-rule "
         "target: >= 0.8 on the index-build metric.",
     ]
-    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
+    with open(os.path.join(REPO, out_name), "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))
 

@@ -82,6 +82,28 @@ def test_dense_fallback_excludes_deleted(spark, deleted_engine):
     assert got and not ({r["doc_id"] for r in got} & dead_ids)
 
 
+def test_engine_delete_compact_wrappers(spark):
+    """Engine.delete/compact round-trip on a small separate index."""
+    pdf = synthetic_corpus_pdf(120)
+    base = "/tmp/test_engine_delete"
+    shutil.rmtree(base, ignore_errors=True)
+    full = with_doc_id(spark.createDataFrame(pdf))
+    eng = Engine.build(spark, full, base, n_shards=2)
+    dead = full.select("doc_id").where(F.abs(F.col("doc_id")) % 3 == 0)
+    dead_ids = {r["doc_id"] for r in dead.collect()}
+    eng.delete(dead)
+    q = spark.createDataFrame([(0, "common_util")],
+                              "query_id long, query string")
+    got = eng.search(q, k=10).collect()
+    assert got and not ({r["doc_id"] for r in got} & dead_ids)
+    eng.compact()
+    meta = spimi.load_meta(spark, eng.paths)
+    assert meta["generation"] == 0
+    assert meta["n_docs"] == 120 - len(dead_ids)
+    got2 = eng.search(q, k=10).collect()
+    assert got2 and not ({r["doc_id"] for r in got2} & dead_ids)
+
+
 def test_compact_purges_and_recomputes_stats(spark, deleted_engine):
     eng, full, dead_ids = deleted_engine
     pre_meta = spimi.load_meta(spark, spimi.IndexPaths(BASE))
