@@ -104,6 +104,47 @@ def test_engine_delete_compact_wrappers(spark):
     assert got2 and not ({r["doc_id"] for r in got2} & dead_ids)
 
 
+def test_delete_append_compact_combo(spark):
+    """Full lifecycle interleaving: build half, delete some of it, append
+    the rest (a second generation while tombstones are pending), then
+    compact — the result must equal a fresh build on (all docs −
+    deleted)."""
+    pdf = synthetic_corpus_pdf(400, seed=7)
+    base = "/tmp/test_delete_append_combo"
+    shutil.rmtree(base, ignore_errors=True)
+    first = with_doc_id(spark.createDataFrame(pdf.iloc[:250]))
+    second = with_doc_id(spark.createDataFrame(pdf.iloc[250:]))
+    spimi.build_index(spark, first, base, n_shards=4)
+    dead = first.select("doc_id").where(F.abs(F.col("doc_id")) % 4 == 2)
+    dead_ids = {r["doc_id"] for r in dead.collect()}
+    assert dead_ids
+    spimi.delete_docs(spark, base, dead)
+    spimi.append_index(spark, second, base)
+    spimi.compact_index(spark, base)
+
+    meta = spimi.load_meta(spark, spimi.IndexPaths(base))
+    assert meta["generation"] == 0
+    assert meta["n_docs"] == 400 - len(dead_ids)
+
+    survivors = with_doc_id(spark.createDataFrame(pdf)).join(
+        spark.createDataFrame([(d,) for d in dead_ids], "doc_id long"),
+        "doc_id", "left_anti")
+    rows = survivors.select("doc_id", "content").collect()
+    oracle = BM25Oracle([r["doc_id"] for r in rows],
+                        [r["content"] for r in rows])
+    eng = Engine(spark, base)
+    q = spark.createDataFrame(QUERIES, "query_id long, query string")
+    by_q = {}
+    for r in eng.search(q, k=10, mode="bmw").collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, qtext in QUERIES:
+        actual = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+        exp = oracle.topk(qtext, k=10)
+        assert [r["doc_id"] for r in actual] == [d for d, _ in exp]
+        for r, (_, s) in zip(actual, exp):
+            assert r["score"] == pytest.approx(s, abs=1e-9)
+
+
 def test_compact_purges_and_recomputes_stats(spark, deleted_engine):
     eng, full, dead_ids = deleted_engine
     pre_meta = spimi.load_meta(spark, spimi.IndexPaths(BASE))

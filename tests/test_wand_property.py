@@ -91,6 +91,43 @@ def test_wand_safe_bounds_randomized(seed):
     assert list(out["doc_id"]) == [d for d, _ in expected], f"seed={seed}"
 
 
+@pytest.mark.parametrize("seed", range(15))
+def test_deleted_docs_excluded_randomized(seed):
+    """Both kernels with a random tombstone set must equal brute force
+    over the surviving docs — including all-deleted, none-deleted, and
+    deleted-ids-absent-from-postings shapes."""
+    rng = np.random.default_rng(900 + seed)
+    avgdl = float(rng.uniform(20, 150))
+    universe = np.arange(-40, 360, dtype=np.int64)
+    n_terms = int(rng.integers(1, 6))
+    pdf, truth = _mk_blocks(rng, n_terms, universe, avgdl,
+                            block_size=int(rng.choice([1, 16, 128])))
+    frac = float(rng.choice([0.0, 0.1, 0.5, 1.0]))
+    cand = np.array(sorted(truth), dtype=np.int64)
+    n_del = int(len(cand) * frac)
+    deleted = rng.choice(cand, size=n_del, replace=False)
+    # sprinkle ids that appear in no posting list (must be harmless)
+    deleted = np.sort(np.concatenate(
+        [deleted, rng.choice(10**9, size=3).astype(np.int64)]))
+    dead = set(deleted.tolist())
+    k = int(rng.integers(1, 20))
+
+    terms = {t: bmw._TermData(t, g, avgdl) for t, g in pdf.groupby("term")}
+    q_terms = [(terms[t], float(g["idf"].iloc[0]))
+               for t, g in pdf.groupby("term")]
+    dense = bmw._exhaustive_single(q_terms, k, avgdl, deleted)
+    cursors = [bmw._TermCursor(d, idf, avgdl) for d, idf in q_terms]
+    wand = bmw._wand_single(cursors, k, deleted)
+
+    expected = sorted(((d, s) for d, s in truth.items() if d not in dead),
+                      key=lambda t: (-t[1], t[0]))[:k]
+    assert [-d for _, d in wand] == [d for d, _ in expected], f"seed={seed}"
+    assert [-d for _, d in dense] == [d for d, _ in expected], f"seed={seed}"
+    np.testing.assert_allclose(
+        sorted(s for s, _ in wand), sorted(s for _, s in expected),
+        rtol=0, atol=1e-12)
+
+
 @pytest.mark.parametrize("seed", range(12))
 def test_dense_kernel_matches_wand(seed):
     """The in-kernel dense fallback (_exhaustive_single) must agree with
