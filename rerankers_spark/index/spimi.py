@@ -250,8 +250,22 @@ class IndexPaths:
             self._catalog = Catalog(spark, self.root, self.catalog_name)
         return self._catalog
 
+    #: known table schemas, used so possibly-empty parquet dirs stay
+    #: readable (no footer to infer from); see Catalog.table.
+    SCHEMAS = {
+        "blocks": BLOCKS_SCHEMA,
+        "docstats": "doc_id long, shard_id int, content_sha256 string, "
+                    "dl long",
+        "termstats": "term string, df long",
+        "manifest": MANIFEST_SCHEMA,
+        "tombstones": "doc_id long",
+        "compact_postings": POSTINGS_SCHEMA,
+        "compact_docstats": "doc_id long, shard_id int, "
+                            "content_sha256 string, dl long",
+    }
+
     def read(self, spark: SparkSession, name: str) -> DataFrame:
-        return self.catalog(spark).table(name)
+        return self.catalog(spark).table(name, self.SCHEMAS.get(name))
 
     def write(self, df: DataFrame, name: str, mode: str = "overwrite",
               partition_by: list[str] | None = None) -> None:
@@ -320,11 +334,12 @@ def build_index(
             dt.observe(obs, F.count(F.lit(1)).alias("n"),
                        F.avg("dl").alias("avgdl")),
             "docstats", mode="overwrite")
-        n_docs, avgdl = int(obs.get["n"]), float(obs.get["avgdl"])
+        n_docs = int(obs.get["n"])
+        avgdl = float(obs.get["avgdl"] or 0.0)  # 0-doc corpus: avg is NULL
     else:
         row = paths.read(spark, "docstats").agg(
             F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-        n_docs, avgdl = int(row["n"]), float(row["avgdl"])
+        n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
 
     # Independent writes overlap on a threaded scheduler: the scalars
     # write (tiny, but a full commit-protocol round-trip on a loaded
@@ -474,7 +489,7 @@ def append_index(
     docstats = paths.read(spark, "docstats")
     row = docstats.agg(F.count("*").alias("n"),
                        F.avg("dl").alias("avgdl")).collect()[0]
-    n_docs, avgdl = int(row["n"]), float(row["avgdl"])
+    n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
 
     p = corpus_postings_arrow(new_corpus)
     blocks = p.groupBy("shard_id").applyInPandas(
@@ -628,7 +643,8 @@ def compact_index(spark: SparkSession, path: str) -> IndexPaths:
         ds.observe(obs, F.count(F.lit(1)).alias("n"),
                    F.avg("dl").alias("avgdl")),
         "compact_docstats", mode="overwrite")
-    n_docs, avgdl = int(obs.get["n"]), float(obs.get["avgdl"])
+    n_docs = int(obs.get["n"])
+    avgdl = float(obs.get["avgdl"] or 0.0)  # 0-doc corpus: avg is NULL
     paths.write(paths.read(spark, "compact_docstats"), "docstats",
                 mode="overwrite")
 

@@ -37,10 +37,17 @@ class Catalog:
     def _path(self, name: str) -> str:
         return f"{self.root}/{name}"
 
-    def table(self, name: str) -> DataFrame:
+    def table(self, name: str, schema: str | None = None) -> DataFrame:
+        """schema: optional DDL string — parquet dirs written from an
+        EMPTY DataFrame have no footer to infer from (0-doc corpus,
+        0-row tombstone set), so readers of possibly-empty tables pass
+        their known schema. Iceberg tables always carry one."""
         if self.catalog_name:
             return self.spark.table(f"{self.catalog_name}.{name}")
-        return self.spark.read.parquet(self._path(name))
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(self._path(name))
 
     def table_exists(self, name: str) -> bool:
         if self.catalog_name:
