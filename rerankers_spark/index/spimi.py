@@ -445,6 +445,10 @@ def index_stats(spark: SparkSession, paths: IndexPaths) -> dict:
     ).collect()[0]
     raw_bytes = 24 * int(r["n_postings"] or 0)
     vb_bytes = int(r["vb_bytes"] or 0)
+    meta = load_meta(spark, paths)
+    n_tomb = (paths.read(spark, "tombstones").select("doc_id")
+              .distinct().count()
+              if paths.exists(spark, "tombstones") else 0)
     return {
         "n_postings": int(r["n_postings"] or 0),
         "n_blocks": int(r["n_blocks"] or 0),
@@ -452,6 +456,9 @@ def index_stats(spark: SparkSession, paths: IndexPaths) -> dict:
         "raw_bytes": raw_bytes,
         "compression_ratio": round(raw_bytes / vb_bytes, 3)
         if vb_bytes else None,
+        # maintenance signals (compact when either grows large)
+        "generation": int(meta.get("generation", 0)),
+        "n_tombstones": n_tomb,
     }
 
 
