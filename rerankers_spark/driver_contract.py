@@ -369,6 +369,65 @@ def q_bm25_topk_delete_compacted(spark: SparkSession, sf_dir: str
     return _bmw_rounded_top10(spark, paths)
 
 
+_SQL_BM25_TOPK_FILTERED = f"""
+WITH q(query_id, query) AS (VALUES {_SQL_QUERY_VALUES}),
+{_SQL_CORPUS_CTES},
+qterms AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id,
+           unnest(list_filter(regexp_split_to_array(lower(query),
+                 '[^a-z0-9_]+'), t -> t <> '' AND length(t) <= 64)) AS term
+    FROM q)
+),
+scored AS (
+  SELECT qt.query_id, p.doc_id,
+         round(sum( ln(1.0 + (s.n - ts.df + 0.5) / (ts.df + 0.5))
+              * (p.tf * 2.2)
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)) ), 4) AS score
+  FROM qterms qt
+  JOIN termstats ts USING (term)
+  JOIN postings p USING (term)
+  JOIN docstats d USING (doc_id)
+  CROSS JOIN scal s
+  WHERE p.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rank, score FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored)
+WHERE rank <= 10
+"""
+
+
+def q_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered search: results restricted to lang='en' docs
+    with FULL-corpus stats (a filter narrows candidates, it does not
+    re-weight idf — standard filtered-search semantics). Exercises the
+    keep-list kernel path end to end under the SQL oracle."""
+    import os
+    import shutil
+
+    from rerankers_spark.index.spimi import build_index
+    from rerankers_spark.query import bmw as bmw_mod
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    idx = f"/tmp/contract_index_filt_{tag}"
+    shutil.rmtree(idx, ignore_errors=True)
+    paths = build_index(spark, corpus, idx, n_shards=8)
+    keep = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where(F.col("lang") == "en")
+            .select(F.col("doc_id").cast("long").alias("doc_id")))
+    raw = bmw_mod.bmw_topk(spark, _queries_df(spark), paths, k=50,
+                           keep_docs=keep)
+    rounded = raw.select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
+    )
+    return topk(rounded, 10).select("query_id", "doc_id", "rank", "score")
+
+
 # -- dedup / similarity / text-analysis entries -------------------------------
 
 _SQL_SHINGLES = f"""
@@ -1033,6 +1092,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     ),
     "bm25_topk_bmw": (q_bm25_topk_bmw, _SQL_BM25_TOPK),
     "bm25_topk_compacted": (q_bm25_topk_compacted, _SQL_BM25_TOPK),
+    "bm25_topk_filtered": (q_bm25_topk_filtered, _SQL_BM25_TOPK_FILTERED),
     "bm25_topk_deleted": (q_bm25_topk_deleted,
                           _sql_bm25_topk_lifecycle(purged=False)),
     "bm25_topk_delete_compacted": (q_bm25_topk_delete_compacted,

@@ -175,14 +175,25 @@ def _is_deleted(deleted: np.ndarray, doc: int) -> bool:
     return i < len(deleted) and int(deleted[i]) == doc
 
 
+def _excluded(doc: int, deleted: np.ndarray | None,
+              keep: np.ndarray | None) -> bool:
+    """A doc is excluded if tombstoned OR outside the keep-list (the
+    metadata-filtered-search doc set); both arrays sorted."""
+    if deleted is not None and _is_deleted(deleted, doc):
+        return True
+    return keep is not None and not _is_deleted(keep, doc)
+
+
 def _wand_single(cursors: list[_TermCursor], k: int,
-                 deleted: np.ndarray | None = None
+                 deleted: np.ndarray | None = None,
+                 keep: np.ndarray | None = None
                  ) -> list[tuple[float, int]]:
     """Core WAND loop: cursors → [(score, -doc_id)] top-k heap contents.
 
-    deleted: sorted tombstoned doc ids — excluded from the heap at
-    evaluation time (θ then only rises from surviving docs, so skipping
-    stays sound; a deleted doc costs one evaluation, never a result)."""
+    deleted / keep: sorted doc-id arrays — excluded (resp. non-member-
+    excluded) docs never enter the heap; θ then only rises from eligible
+    docs, so skipping stays sound (an excluded doc costs one evaluation,
+    never a result)."""
     cursors = [c for c in cursors if not c.exhausted]
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
 
@@ -218,7 +229,7 @@ def _wand_single(cursors: list[_TermCursor], k: int,
         if ub > th:
             if live[0].cur_doc() == pivot_doc:
                 # fully aligned → exact evaluation
-                if deleted is None or not _is_deleted(deleted, pivot_doc):
+                if not _excluded(pivot_doc, deleted, keep):
                     s = 0.0
                     for c in live:
                         if c.cur_doc() == pivot_doc:
@@ -261,6 +272,7 @@ DENSE_DF_RATIO = 0.10
 def _exhaustive_single(
     q_terms: list[tuple[_TermData, float]], k: int, avgdl: float,
     deleted: np.ndarray | None = None,
+    keep: np.ndarray | None = None,
 ) -> list[tuple[float, int]]:
     """Vectorized decode-and-score of every posting of the query's terms —
     the in-kernel dense path. Same output shape as _wand_single
@@ -287,13 +299,21 @@ def _exhaustive_single(
     uniq, inv = np.unique(all_docs, return_inverse=True)
     acc = np.zeros(len(uniq), dtype=np.float64)
     np.add.at(acc, inv, all_contrib)
+    def _member_mask(arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        if len(arr) == 0:
+            return np.zeros(len(vals), dtype=bool)
+        pos = np.searchsorted(arr, vals)
+        pos[pos >= len(arr)] = len(arr) - 1
+        return arr[pos] == vals
+
     if deleted is not None and len(uniq):
-        pos = np.searchsorted(deleted, uniq)
-        pos[pos >= len(deleted)] = len(deleted) - 1
-        keep = deleted[pos] != uniq
-        uniq, acc = uniq[keep], acc[keep]
-        if len(uniq) == 0:
-            return []
+        mask = ~_member_mask(deleted, uniq)
+        uniq, acc = uniq[mask], acc[mask]
+    if keep is not None and len(uniq):
+        mask = _member_mask(keep, uniq)
+        uniq, acc = uniq[mask], acc[mask]
+    if len(uniq) == 0:
+        return []
     if len(uniq) > k:
         # keep EVERY doc tied with the k-th score so the (score desc,
         # doc_id asc) tie-break below stays exact at the cut boundary
@@ -333,6 +353,7 @@ def wand_topk_shard(
     bound_mode: str = "exact",
     n_docs_shard: float = 0.0,
     deleted: np.ndarray | None = None,
+    keep: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """One shard's blocks (the bucket's query terms, deduplicated) + the
     bucket's query list → per-query local top-k.
@@ -356,10 +377,10 @@ def wand_topk_shard(
             continue
         min_df = min(d.df for d, _ in present)
         if n_docs_shard > 0 and min_df > DENSE_DF_RATIO * n_docs_shard:
-            out = _exhaustive_single(present, k, avgdl, deleted)
+            out = _exhaustive_single(present, k, avgdl, deleted, keep)
         else:
             cursors = [_TermCursor(d, idf, avgdl) for d, idf in present]
-            out = _wand_single(cursors, k, deleted)
+            out = _wand_single(cursors, k, deleted, keep)
         for s, negd in out:
             qids.append(query_id)
             docs.append(-negd)
@@ -406,6 +427,7 @@ def bmw_topk(
     termstats: DataFrame | None = None,
     blocks: DataFrame | None = None,
     query_buckets: int | None = None,
+    keep_docs: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score, rank): exact BM25 top-k via BMW.
 
@@ -423,6 +445,15 @@ def bmw_topk(
     sorted id array is broadcast and excluded inside the kernels; global
     stats stay pre-delete until compact_index purges (Lucene deferred-
     stats semantics).
+
+    keep_docs: optional (doc_id) DataFrame — metadata-filtered search
+    (e.g. ``docs.where(lang='python').select('doc_id')``). Results are
+    restricted to the set, scores keep full-corpus stats (the standard
+    filtered-search semantics: a filter narrows candidates, it does not
+    re-weight idf). Shipped like tombstones (sorted broadcast array) —
+    fine for id-list filters up to ~10M docs; at 100 TB a
+    high-selectivity attribute should instead become an index partition
+    column so the filter prunes whole shards.
     """
     from rerankers_spark.index.spimi import load_meta, load_tombstones
 
@@ -431,6 +462,13 @@ def bmw_topk(
     tomb = load_tombstones(spark, paths)
     tomb_bc = (spark.sparkContext.broadcast(tomb)
                if tomb is not None else None)
+    keep_bc = None
+    if keep_docs is not None:
+        keep_arr = np.array(
+            [r["doc_id"] for r in keep_docs.select("doc_id")
+             .distinct().collect()], dtype=np.int64)
+        keep_arr.sort()
+        keep_bc = spark.sparkContext.broadcast(keep_arr)
     if bound_mode is None:
         bound_mode = "safe" if int(meta.get("generation", 0)) > 0 else "exact"
     n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
@@ -491,7 +529,9 @@ def bmw_topk(
         return wand_topk_shard(bpdf, q_list, k, avgdl, bound_mode,
                                n_docs_shard=n_docs / n_shards_total,
                                deleted=(tomb_bc.value if tomb_bc is not None
-                                        else None))
+                                        else None),
+                               keep=(keep_bc.value if keep_bc is not None
+                                     else None))
 
     local = blocks_b.groupby("shard_id", "bucket").cogroup(
         q_side.groupby("shard_id", "bucket")

@@ -81,25 +81,32 @@ class Engine:
     AUTO_DENSE_DF_RATIO = 0.10
 
     def search(self, queries: DataFrame, k: int = 10,
-               mode: str = "bmw") -> DataFrame:
+               mode: str = "bmw",
+               doc_filter: Optional[DataFrame] = None) -> DataFrame:
         """(query_id, doc_id, score, rank) — BM25 top-k.
 
         mode='bmw' (block-skipping fast path), 'exhaustive' (vectorized
         decode-all path), or 'auto' (per-query cost-based routing on term
         document frequency); all are exact and rank-identical.
+
+        doc_filter: optional (doc_id) DataFrame restricting results to a
+        metadata-selected doc set (e.g. ``corpus.where(lang ==
+        'python').select('doc_id')``) with full-corpus stats — see
+        bmw.bmw_topk keep_docs.
         """
         if mode == "bmw":
             meta, termstats, blocks = self._handles()
             return bmw.bmw_topk(self.spark, queries, self.paths, k=k,
                                 meta=meta, termstats=termstats,
-                                blocks=blocks)
+                                blocks=blocks, keep_docs=doc_filter)
         if mode == "exhaustive":
-            return self._exhaustive(queries, k)
+            return self._exhaustive(queries, k, doc_filter=doc_filter)
         if mode == "auto":
-            return self._auto(queries, k)
+            return self._auto(queries, k, doc_filter=doc_filter)
         raise ValueError(f"unknown mode {mode!r}")
 
-    def _auto(self, queries: DataFrame, k: int) -> DataFrame:
+    def _auto(self, queries: DataFrame, k: int,
+              doc_filter: Optional[DataFrame] = None) -> DataFrame:
         """Route each query dense/sparse with a tag column — fully
         set-oriented (no driver collect; the routing table stays a
         DataFrame however large the query log is)."""
@@ -115,12 +122,15 @@ class Engine:
         # way; dropped here rather than shipped through a search.
         dense_q = tagged.where(F.col("__dense")).drop("__dense")
         sparse_q = tagged.where(~F.col("__dense")).drop("__dense")
-        return self._exhaustive(dense_q, k).unionByName(
-            bmw.bmw_topk(self.spark, sparse_q, self.paths, k=k, meta=meta,
-                         termstats=termstats, blocks=blocks)
+        return self._exhaustive(dense_q, k, doc_filter=doc_filter) \
+            .unionByName(
+                bmw.bmw_topk(self.spark, sparse_q, self.paths, k=k,
+                             meta=meta, termstats=termstats, blocks=blocks,
+                             keep_docs=doc_filter)
         )
 
-    def _exhaustive(self, queries: DataFrame, k: int) -> DataFrame:
+    def _exhaustive(self, queries: DataFrame, k: int,
+                    doc_filter: Optional[DataFrame] = None) -> DataFrame:
         """Score every posting of every query term (no skipping) by
         decoding blocks — the C9 oracle path over the SAME index bytes."""
         import numpy as np
@@ -183,6 +193,13 @@ class Engine:
                 self.paths.read(self.spark, "tombstones")
                 .select("doc_id").distinct(),
                 "doc_id", "left_anti",
+            )
+        # metadata filter: semi-join against the keep set (set-oriented —
+        # this path handles arbitrarily large filters, no broadcast cap)
+        if doc_filter is not None:
+            scored = scored.join(
+                doc_filter.select("doc_id").distinct(), "doc_id",
+                "left_semi",
             )
         return topk(scored, k)
 

@@ -104,6 +104,37 @@ def test_engine_delete_compact_wrappers(spark):
     assert got2 and not ({r["doc_id"] for r in got2} & dead_ids)
 
 
+@pytest.mark.parametrize("mode", ["bmw", "exhaustive", "auto"])
+def test_doc_filter_restricts_results(spark, mode):
+    """Engine.search(doc_filter=...) returns top-k over ONLY the kept
+    docs, scored with full-corpus stats, on every mode."""
+    pdf = synthetic_corpus_pdf(300, seed=11)
+    base = "/tmp/test_filter_index"
+    shutil.rmtree(base, ignore_errors=True)
+    full = with_doc_id(spark.createDataFrame(pdf))
+    spimi.build_index(spark, full, base, n_shards=4)
+    keep_df = full.select("doc_id").where(F.abs(F.col("doc_id")) % 2 == 0)
+    kept = {r["doc_id"] for r in keep_df.collect()}
+    assert 0 < len(kept) < 300
+
+    rows = full.select("doc_id", "content").collect()
+    oracle = BM25Oracle([r["doc_id"] for r in rows],
+                        [r["content"] for r in rows])
+    eng = Engine(spark, base)
+    q = spark.createDataFrame(QUERIES, "query_id long, query string")
+    by_q = {}
+    for r in eng.search(q, k=10, mode=mode, doc_filter=keep_df).collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, qtext in QUERIES:
+        actual = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+        assert {r["doc_id"] for r in actual} <= kept
+        exp = [(d, s) for d, s in oracle.topk(qtext, k=300)
+               if d in kept][:10]
+        assert [r["doc_id"] for r in actual] == [d for d, _ in exp]
+        for r, (_, s) in zip(actual, exp):
+            assert r["score"] == pytest.approx(s, abs=1e-9)
+
+
 def test_delete_append_compact_combo(spark):
     """Full lifecycle interleaving: build half, delete some of it, append
     the rest (a second generation while tombstones are pending), then

@@ -128,6 +128,40 @@ def test_deleted_docs_excluded_randomized(seed):
         rtol=0, atol=1e-12)
 
 
+@pytest.mark.parametrize("seed", range(10))
+def test_keep_list_filter_randomized(seed):
+    """Filtered search (keep-list) in both kernels equals brute force
+    restricted to the kept docs — combined with a random tombstone set
+    (deleted wins over kept on overlap)."""
+    rng = np.random.default_rng(1300 + seed)
+    avgdl = float(rng.uniform(20, 150))
+    universe = np.arange(-30, 300, dtype=np.int64)
+    pdf, truth = _mk_blocks(rng, int(rng.integers(1, 5)), universe, avgdl,
+                            block_size=int(rng.choice([1, 16, 128])))
+    cand = np.array(sorted(truth), dtype=np.int64)
+    keep = np.sort(rng.choice(
+        cand, size=int(len(cand) * rng.choice([0.2, 0.6, 1.0])),
+        replace=False))
+    deleted = (np.sort(rng.choice(keep, size=len(keep) // 3, replace=False))
+               if seed % 2 and len(keep) >= 3 else None)
+    dead = set(deleted.tolist()) if deleted is not None else set()
+    kept = set(keep.tolist())
+    k = int(rng.integers(1, 15))
+
+    terms = {t: bmw._TermData(t, g, avgdl) for t, g in pdf.groupby("term")}
+    q_terms = [(terms[t], float(g["idf"].iloc[0]))
+               for t, g in pdf.groupby("term")]
+    dense = bmw._exhaustive_single(q_terms, k, avgdl, deleted, keep)
+    cursors = [bmw._TermCursor(d, idf, avgdl) for d, idf in q_terms]
+    wand = bmw._wand_single(cursors, k, deleted, keep)
+
+    expected = sorted(
+        ((d, s) for d, s in truth.items() if d in kept and d not in dead),
+        key=lambda t: (-t[1], t[0]))[:k]
+    assert [-d for _, d in wand] == [d for d, _ in expected], f"seed={seed}"
+    assert [-d for _, d in dense] == [d for d, _ in expected], f"seed={seed}"
+
+
 @pytest.mark.parametrize("seed", range(12))
 def test_dense_kernel_matches_wand(seed):
     """The in-kernel dense fallback (_exhaustive_single) must agree with
