@@ -241,13 +241,17 @@ class Engine:
 
     def rank(self, queries: DataFrame, corpus_text: DataFrame,
              first_k: int = 100, final_k: int = 10,
-             mode: str = "bmw") -> DataFrame:
+             mode: str = "bmw",
+             doc_filter: Optional[DataFrame] = None) -> DataFrame:
         """BM25 top-first_k → join text → rerank scorer UDF → top-final_k.
 
         This is the consistency-notebook pipeline (test_crossenc.ipynb
-        cells 5-8) as one job. corpus_text: (doc_id, content).
+        cells 5-8) as one job. corpus_text: (doc_id, content);
+        doc_filter as in :meth:`search` (applies to the first stage, so
+        the reranker only ever sees eligible candidates).
         """
-        cands = self.search(queries, k=first_k, mode=mode).select(
+        cands = self.search(queries, k=first_k, mode=mode,
+                            doc_filter=doc_filter).select(
             "query_id", "doc_id", F.col("score").alias("bm25_score")
         )
         with_text = cands.join(corpus_text.select(

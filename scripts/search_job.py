@@ -27,6 +27,9 @@ def main() -> None:
     ap.add_argument("--rerank", action="store_true")
     ap.add_argument("--corpus")
     ap.add_argument("--scorer", default="overlap")
+    ap.add_argument("--filter-ids",
+                    help="parquet with a doc_id column: restrict results "
+                         "to this doc set (metadata-filtered search)")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("rerankers-spark-search").getOrCreate()
@@ -34,6 +37,8 @@ def main() -> None:
     qdf = spark.createDataFrame(
         list(enumerate(args.query)), "query_id long, query string"
     )
+    doc_filter = (spark.read.parquet(args.filter_ids)
+                  if args.filter_ids else None)
     if args.rerank:
         if not args.corpus:
             ap.error("--rerank requires --corpus for candidate text")
@@ -41,9 +46,11 @@ def main() -> None:
         if "content" not in corpus.columns and "text" in corpus.columns:
             corpus = corpus.withColumn("content", F.col("text"))
         out = eng.rank(qdf, corpus, first_k=max(100, args.k),
-                       final_k=args.k, mode=args.mode)
+                       final_k=args.k, mode=args.mode,
+                       doc_filter=doc_filter)
     else:
-        out = eng.search(qdf, k=args.k, mode=args.mode)
+        out = eng.search(qdf, k=args.k, mode=args.mode,
+                         doc_filter=doc_filter)
     for row in sorted(out.collect(),
                       key=lambda r: (r["query_id"], r["rank"])):
         print(dict(row.asDict()))
