@@ -428,6 +428,7 @@ def bmw_topk(
     blocks: DataFrame | None = None,
     query_buckets: int | None = None,
     keep_docs: DataFrame | None = None,
+    qt: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score, rank): exact BM25 top-k via BMW.
 
@@ -454,6 +455,10 @@ def bmw_topk(
     fine for id-list filters up to ~10M docs; at 100 TB a
     high-selectivity attribute should instead become an index partition
     column so the filter prunes whole shards.
+
+    qt: optional precomputed ``query_terms_with_idf`` table for these
+    queries (the auto router computes it once for routing and passes it
+    to both branches instead of re-tokenizing).
     """
     from rerankers_spark.index.spimi import load_meta, load_tombstones
 
@@ -480,7 +485,8 @@ def bmw_topk(
             // max(1, n_shards_total))
     n_buckets = int(query_buckets)
 
-    qt = query_terms_with_idf(spark, queries, paths, n_docs, termstats)
+    if qt is None:
+        qt = query_terms_with_idf(spark, queries, paths, n_docs, termstats)
     # the bucket expression is instantiated separately per cogroup side so
     # the two plans don't share an attribute (ambiguous-self-join check)
     def _bucket_col():

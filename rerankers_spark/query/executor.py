@@ -122,15 +122,23 @@ class Engine:
         # way; dropped here rather than shipped through a search.
         dense_q = tagged.where(F.col("__dense")).drop("__dense")
         sparse_q = tagged.where(~F.col("__dense")).drop("__dense")
-        return self._exhaustive(dense_q, k, doc_filter=doc_filter) \
+        # qt was already computed for routing — pass the per-branch
+        # slices down so neither branch re-tokenizes or re-joins termstats
+        qt_dense = qt.join(dense_q.select("query_id"), "query_id",
+                           "left_semi")
+        qt_sparse = qt.join(sparse_q.select("query_id"), "query_id",
+                            "left_semi")
+        return self._exhaustive(dense_q, k, doc_filter=doc_filter,
+                                qt=qt_dense) \
             .unionByName(
                 bmw.bmw_topk(self.spark, sparse_q, self.paths, k=k,
                              meta=meta, termstats=termstats, blocks=blocks,
-                             keep_docs=doc_filter)
+                             keep_docs=doc_filter, qt=qt_sparse)
         )
 
     def _exhaustive(self, queries: DataFrame, k: int,
-                    doc_filter: Optional[DataFrame] = None) -> DataFrame:
+                    doc_filter: Optional[DataFrame] = None,
+                    qt: Optional[DataFrame] = None) -> DataFrame:
         """Score every posting of every query term (no skipping) by
         decoding blocks — the C9 oracle path over the SAME index bytes."""
         import numpy as np
@@ -139,7 +147,9 @@ class Engine:
         from rerankers_spark.index import varbyte as vb_codec
 
         n_docs, avgdl = load_scalars(self.spark, self.paths)
-        qt = bmw.query_terms_with_idf(self.spark, queries, self.paths, n_docs)
+        if qt is None:
+            qt = bmw.query_terms_with_idf(self.spark, queries, self.paths,
+                                          n_docs)
         # bounded pushdown list (see bmw.TERM_PUSHDOWN_CAP): small query
         # vocabularies push a term filter into the parquet scan; larger
         # ones rely on the broadcast join below as the only term filter.
