@@ -39,19 +39,15 @@ The reference presupposes this whole stage as an external artifact
 
 from __future__ import annotations
 
-import os
 import time
-from typing import Iterable, Optional
+from typing import Iterable
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rerankers_spark.functions.tokenize import (
-    token_count_pandas_udf,
-    tokenize_pandas_udf,
-)
+from rerankers_spark.functions.tokenize import token_count_pandas_udf
 from rerankers_spark.index import varbyte as vb
 from rerankers_spark.operators import bm25
 
@@ -65,11 +61,18 @@ BLOCKS_SCHEMA = (
 
 MANIFEST_SCHEMA = (
     "shard_id int, n_docs long, n_postings long, n_blocks long, "
-    "sum_dl long, sha256_xor long, status string, wall_time double"
+    "sum_dl long, sha256_xor long, status string, wall_time double, "
+    "gen int"
 )
 
 
 def _tf_sat(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
+    """THE numpy tf-saturation (FIXTURES.md §4 frozen math) — shared by
+    the block builder, both query kernels (bmw.py) and the DataFrame
+    exhaustive path (executor.py) so the formula lives in one place; the
+    only other restatements are the scalar hot-loop form in
+    bmw._TermCursor.score_at_cur and the Column form in bm25.tf_sat_col,
+    each carrying a pointer comment back here."""
     tf = tf.astype(np.float64)
     dl = dl.astype(np.float64)
     return (tf * (bm25.K1 + 1.0)) / (
@@ -256,7 +259,7 @@ class IndexPaths:
         "blocks": BLOCKS_SCHEMA,
         "docstats": "doc_id long, shard_id int, content_sha256 string, "
                     "dl long",
-        "termstats": "term string, df long",
+        "termstats": "term string, df long, gen int",
         "manifest": MANIFEST_SCHEMA,
         "tombstones": "doc_id long",
         "compact_postings": POSTINGS_SCHEMA,
@@ -276,9 +279,42 @@ class IndexPaths:
         return self.catalog(spark).table_exists(name)
 
 
-def _xor_sha_col():
-    """Order-independent 60-bit fingerprint of content_sha256 per shard."""
-    return F.conv(F.substring("content_sha256", 1, 15), 16, 10).cast("long")
+def visible_bound(meta: dict) -> int:
+    """Exclusive shard-id upper bound of COMMITTED data. The scalars
+    write is the append commit point (see append_index): rows whose
+    shard_id falls at/above this bound belong to an uncommitted (failed
+    or in-flight) generation and must be invisible to every reader."""
+    return (int(meta.get("generation", 0)) + 1) * int(meta["n_shards"])
+
+
+def load_blocks(spark: SparkSession, paths: IndexPaths,
+                meta: dict) -> DataFrame:
+    """The committed block set (orphan generations filtered out)."""
+    return paths.read(spark, "blocks").where(
+        F.col("shard_id") < visible_bound(meta))
+
+
+def load_termstats(spark: SparkSession, paths: IndexPaths,
+                   meta: dict) -> DataFrame:
+    """(term, df) over committed generations. termstats is stored as
+    per-generation df CONTRIBUTIONS (partition column ``gen``) so an
+    append only writes its own generation's partition — append-only like
+    every other table, visibility-gated by the same scalars commit."""
+    return (
+        paths.read(spark, "termstats")
+        .where(F.col("gen") <= int(meta.get("generation", 0)))
+        .groupBy("term").agg(F.sum("df").cast("long").alias("df"))
+    )
+
+
+#: order-independent 60-bit lineage fingerprint of content_sha256 per
+#: shard — the ONE definition every manifest aggregation uses
+_SHA_XOR_EXPR = ("bit_xor(cast(conv(substring(content_sha256,1,15),16,10) "
+                 "as bigint))")
+
+
+def _sha_xor_agg():
+    return F.expr(_SHA_XOR_EXPR).alias("sha256_xor")
 
 
 def build_index(
@@ -328,18 +364,26 @@ def build_index(
         "doc_id", "shard_id", "content_sha256",
         token_count_pandas_udf(F.col("content")).alias("dl"),
     )
-    if not (resume and paths.exists(spark, "docstats")):
+    n_docs = None
+    if resume and paths.exists(spark, "docstats"):
+        row = paths.read(spark, "docstats").agg(
+            F.count("*").alias("n"),
+            F.sum("dl").cast("long").alias("sum_dl")).collect()[0]
+        if int(row["n"]) > 0:
+            n_docs = int(row["n"])
+            sum_dl = int(row["sum_dl"] or 0)
+        # else: the directory exists but holds no committed rows (crash
+        # mid-write left only _temporary) — fall through and rebuild;
+        # bare-existence must not be trusted as a checkpoint.
+    if n_docs is None:
         obs = Observation("corpus_totals")
         paths.write(
             dt.observe(obs, F.count(F.lit(1)).alias("n"),
-                       F.avg("dl").alias("avgdl")),
-            "docstats", mode="overwrite")
+                       F.sum("dl").alias("sum_dl")),
+            "docstats", mode="overwrite", partition_by=["shard_id"])
         n_docs = int(obs.get["n"])
-        avgdl = float(obs.get["avgdl"] or 0.0)  # 0-doc corpus: avg is NULL
-    else:
-        row = paths.read(spark, "docstats").agg(
-            F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-        n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+        sum_dl = int(obs.get["sum_dl"] or 0)  # 0-doc corpus: sum is NULL
+    avgdl = (sum_dl / n_docs) if n_docs else 0.0
 
     # Independent writes overlap on a threaded scheduler: the scalars
     # write (tiny, but a full commit-protocol round-trip on a loaded
@@ -348,7 +392,7 @@ def build_index(
     # separate concurrent jobs sharing the executor pool.
     pool = ThreadPoolExecutor(max_workers=2)
     scalars_f = pool.submit(_write_scalars, spark, paths, n_docs, avgdl,
-                            n_shards, 0)
+                            n_shards, 0, sum_dl, None)
 
     # ---- postings for not-yet-done shards ----------------------------------
     todo = corpus.where(~F.col("shard_id").isin(list(done))) if done else corpus
@@ -374,17 +418,15 @@ def build_index(
     def _write_termstats():
         ts = all_blocks_meta.groupBy("term").agg(
             F.sum("n").cast("long").alias("df")
-        )
-        paths.write(ts, "termstats", mode="overwrite")
+        ).withColumn("gen", F.lit(0))
+        paths.write(ts, "termstats", mode="overwrite",
+                    partition_by=["gen"])
 
     def _write_manifest():
         shard_stats = paths.read(spark, "docstats").groupBy("shard_id").agg(
             F.count("*").alias("n_docs"),
             F.sum("dl").cast("long").alias("sum_dl"),
-            F.expr(
-                "bit_xor(cast(conv(substring(content_sha256,1,15),16,10) "
-                "as bigint))"
-            ).alias("sha256_xor"),
+            _sha_xor_agg(),
         )
         block_stats = all_blocks_meta.groupBy("shard_id").agg(
             F.sum("n").cast("long").alias("n_postings"),
@@ -398,9 +440,11 @@ def build_index(
                 "sha256_xor",
                 F.lit("ok").alias("status"),
                 F.lit(float(wall)).alias("wall_time"),
+                F.lit(0).alias("gen"),
             )
         )
-        paths.write(manifest, "manifest", mode="overwrite")
+        paths.write(manifest, "manifest", mode="overwrite",
+                    partition_by=["gen"])
 
     ts_f = pool.submit(_write_termstats)
     mf_f = pool.submit(_write_manifest)
@@ -413,10 +457,20 @@ def build_index(
 
 
 def _write_scalars(spark: SparkSession, paths: IndexPaths, n_docs: int,
-                   avgdl: float, n_shards: int, generation: int) -> None:
+                   avgdl: float, n_shards: int, generation: int,
+                   sum_dl: int | None = None,
+                   last_batch_id: str | None = None) -> None:
+    """The scalars row is the index's COMMIT POINT: every other table is
+    append-only with orphan rows made invisible by visible_bound /
+    load_termstats, so the single-row scalars overwrite atomically
+    publishes a generation. sum_dl makes incremental avgdl updates exact
+    (no float drift); last_batch_id is the streaming replay guard."""
+    if sum_dl is None:
+        sum_dl = int(round(avgdl * n_docs))
     df = spark.createDataFrame(
-        [(n_docs, avgdl, n_shards, generation)],
-        "n_docs long, avgdl double, n_shards int, generation int",
+        [(n_docs, avgdl, n_shards, generation, sum_dl, last_batch_id)],
+        "n_docs long, avgdl double, n_shards int, generation int, "
+        "sum_dl long, last_batch_id string",
     ).coalesce(1)
     paths.write(df, "scalars", mode="overwrite")
 
@@ -436,7 +490,8 @@ def index_stats(spark: SparkSession, paths: IndexPaths) -> dict:
     posting is 3 int64s uncompressed: doc_id, tf, dl). This scans the
     binary columns — a deliberate full read for reporting, NOT on any
     query path (query-path scans prune binaries via column projection)."""
-    r = paths.read(spark, "blocks").agg(
+    meta = load_meta(spark, paths)
+    r = load_blocks(spark, paths, meta).agg(
         F.sum(
             F.length("docs_vb") + F.length("tfs_vb") + F.length("dls_vb")
         ).alias("vb_bytes"),
@@ -445,7 +500,6 @@ def index_stats(spark: SparkSession, paths: IndexPaths) -> dict:
     ).collect()[0]
     raw_bytes = 24 * int(r["n_postings"] or 0)
     vb_bytes = int(r["vb_bytes"] or 0)
-    meta = load_meta(spark, paths)
     n_tomb = (paths.read(spark, "tombstones").select("doc_id")
               .distinct().count()
               if paths.exists(spark, "tombstones") else 0)
@@ -466,21 +520,47 @@ def append_index(
     spark: SparkSession,
     new_corpus: DataFrame,
     path: str,
+    batch_id: str | int | None = None,
 ) -> IndexPaths:
     """Incremental append: NEW docs become a new index generation.
 
     Generation g's shards get ids ``g * n_shards + pmod(xxhash64(doc_id),
     n_shards)`` — still doc-disjoint from every earlier generation, so
     the query path needs no merge logic: a generation is just more
-    shards. Global stats (N, avgdl, df) are recomputed over the union;
-    OLD blocks' ``max_tfsat`` was computed under the old avgdl and is now
-    stale, which is why query-time bounds switch to the avgdl-independent
-    (max_tf, min_dl) form once generation > 0 (see bmw.block_bounds).
+    shards. Global stats update incrementally (observed batch totals +
+    the exact sum_dl carried in scalars — append cost is independent of
+    index size); OLD blocks' ``max_tfsat`` was computed under the old
+    avgdl and is now stale, which is why query-time bounds switch to the
+    avgdl-independent (max_tf, min_dl) form once generation > 0 (see
+    bmw._TermData's 'safe' bound mode).
+
+    Atomicity / replay (foreachBatch is at-least-once):
+
+    * every data write (docstats/blocks/termstats/manifest) is APPEND of
+      rows belonging only to the new generation; readers hide them via
+      visible_bound / load_termstats until the final single-row scalars
+      overwrite — the commit point — publishes the generation;
+    * a crash before commit leaves only invisible orphans; the retry
+      first deletes the would-be generation's partitions (same ids are
+      recomputed deterministically), so a replay never double-indexes;
+    * batch_id (pass the foreachBatch epoch id) is recorded in scalars
+      at commit: a replay of an ALREADY-committed batch is a no-op.
     """
     paths = IndexPaths(path)
     meta = load_meta(spark, paths)
     n_shards = int(meta["n_shards"])
     gen = int(meta["generation"]) + 1
+    if batch_id is not None and meta.get("last_batch_id") == str(batch_id):
+        return paths  # replay of a committed batch (exactly-once)
+    cat = paths.catalog(spark)
+    new_shards = list(range(gen * n_shards, (gen + 1) * n_shards))
+    # orphan cleanup from a previous failed attempt at THIS generation
+    cat.delete_partitions("blocks", "shard_id", new_shards)
+    cat.delete_partitions("docstats", "shard_id", new_shards)
+    cat.delete_partitions("termstats", "gen", [gen])
+    cat.delete_partitions("manifest", "gen", [gen])
+
+    from pyspark.sql import Observation
 
     width = max(n_shards, spark.sparkContext.defaultParallelism)
     new_corpus = new_corpus.repartition(width).withColumn(
@@ -492,11 +572,17 @@ def append_index(
         "doc_id", "shard_id", "content_sha256",
         token_count_pandas_udf(F.col("content")).alias("dl"),
     )
-    paths.write(dt, "docstats", mode="append")
-    docstats = paths.read(spark, "docstats")
-    row = docstats.agg(F.count("*").alias("n"),
-                       F.avg("dl").alias("avgdl")).collect()[0]
-    n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+    obs = Observation(f"append_totals_{gen}")
+    paths.write(
+        dt.observe(obs, F.count(F.lit(1)).alias("n"),
+                   F.sum("dl").alias("sum_dl")),
+        "docstats", mode="append", partition_by=["shard_id"])
+    batch_n, batch_sum = int(obs.get["n"]), int(obs.get["sum_dl"] or 0)
+    prev_sum = int(meta.get("sum_dl") or
+                   round(float(meta["avgdl"]) * int(meta["n_docs"])))
+    n_docs = int(meta["n_docs"]) + batch_n
+    sum_dl = prev_sum + batch_sum
+    avgdl = (sum_dl / n_docs) if n_docs else 0.0
 
     p = corpus_postings_arrow(new_corpus)
     blocks = p.groupBy("shard_id").applyInPandas(
@@ -504,34 +590,45 @@ def append_index(
     )
     paths.write(blocks, "blocks", mode="append", partition_by=["shard_id"])
 
-    all_blocks = paths.read(spark, "blocks")
+    # per-generation df CONTRIBUTION (load_termstats sums visible gens) —
+    # derived from the new generation's blocks only, never a full rescan
+    lo, hi = gen * n_shards, (gen + 1) * n_shards
+    gen_blocks = paths.read(spark, "blocks").where(
+        (F.col("shard_id") >= lo) & (F.col("shard_id") < hi)
+    ).select("term", "n")
     paths.write(
-        all_blocks.groupBy("term").agg(
-            F.sum("n").cast("long").alias("df")),
-        "termstats", mode="overwrite")
-    _write_scalars(spark, paths, n_docs, avgdl, n_shards, generation=gen)
+        gen_blocks.groupBy("term").agg(
+            F.sum("n").cast("long").alias("df"))
+        .withColumn("gen", F.lit(gen)),
+        "termstats", mode="append", partition_by=["gen"])
 
-    new_manifest = _manifest_from_docstats(dt)
-    paths.write(new_manifest, "manifest", mode="append")
+    new_manifest = _manifest_from_docstats(
+        paths.read(spark, "docstats")
+        .where((F.col("shard_id") >= lo) & (F.col("shard_id") < hi)), gen)
+    paths.write(new_manifest, "manifest", mode="append",
+                partition_by=["gen"])
+
+    # COMMIT: publish the generation (+ the replay guard)
+    _write_scalars(spark, paths, n_docs, avgdl, n_shards, generation=gen,
+                   sum_dl=sum_dl,
+                   last_batch_id=(None if batch_id is None
+                                  else str(batch_id)))
     return paths
 
 
-def _manifest_from_docstats(dt: DataFrame) -> DataFrame:
+def _manifest_from_docstats(dt: DataFrame, gen: int) -> DataFrame:
     return dt.groupBy("shard_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
-        F.expr(
-            "bit_xor(cast(conv(substring(content_sha256,1,15),16,10) "
-            "as bigint))"
-        ).alias("sha256_xor"),
+        _sha_xor_agg(),
     ).select(
         "shard_id", "n_docs",
         F.lit(None).cast("long").alias("n_postings"),
         F.lit(None).cast("long").alias("n_blocks"),
         "sum_dl", "sha256_xor",
         F.lit("ok").alias("status"), F.lit(0.0).alias("wall_time"),
-    ).select("shard_id", "n_docs", "n_postings", "n_blocks", "sum_dl",
-             "sha256_xor", "status", "wall_time")
+        F.lit(gen).alias("gen"),
+    )
 
 
 def delete_docs(spark: SparkSession, path: str,
@@ -606,7 +703,7 @@ def compact_index(spark: SparkSession, path: str) -> IndexPaths:
 
     * ``max_tfsat`` is exact again → query-time WAND switches back from
       the looser append-safe ``(max_tf, min_dl)`` bound to the tightest
-      'exact' bound mode (bmw.block_bounds), restoring skip efficiency
+      'exact' bound mode (bmw._TermData), restoring skip efficiency
       that incremental appends (append_index) progressively erode;
     * the shard count drops from ``(generation+1) * n_shards`` back to
       ``n_shards`` — streaming ingest at 100 TB otherwise accretes tiny
@@ -636,11 +733,15 @@ def compact_index(spark: SparkSession, path: str) -> IndexPaths:
     tomb = (paths.read(spark, "tombstones").select("doc_id").distinct()
             if paths.exists(spark, "tombstones") else None)
 
+    bound = visible_bound(meta)
     t0 = time.time()
-    # docstats first: the purge shifts N/avgdl, and the re-blocked
+    # docstats first (VISIBLE rows only — orphans of failed appends are
+    # dropped here for good): the purge shifts N/avgdl, and the re-blocked
     # max_tfsat must be exact under the NEW avgdl. Observed during the
     # staging write (no separate agg job).
-    ds = paths.read(spark, "docstats").withColumn(
+    ds = paths.read(spark, "docstats").where(
+        F.col("shard_id") < bound
+    ).withColumn(
         "shard_id", F.pmod(F.xxhash64("doc_id"),
                            F.lit(n_shards)).cast("int"))
     if tomb is not None:
@@ -648,15 +749,16 @@ def compact_index(spark: SparkSession, path: str) -> IndexPaths:
     obs = Observation("compact_totals")
     paths.write(
         ds.observe(obs, F.count(F.lit(1)).alias("n"),
-                   F.avg("dl").alias("avgdl")),
+                   F.sum("dl").alias("sum_dl")),
         "compact_docstats", mode="overwrite")
     n_docs = int(obs.get["n"])
-    avgdl = float(obs.get["avgdl"] or 0.0)  # 0-doc corpus: avg is NULL
+    sum_dl = int(obs.get["sum_dl"] or 0)
+    avgdl = (sum_dl / n_docs) if n_docs else 0.0
     paths.write(paths.read(spark, "compact_docstats"), "docstats",
-                mode="overwrite")
+                mode="overwrite", partition_by=["shard_id"])
 
     postings = (
-        paths.read(spark, "blocks")
+        load_blocks(spark, paths, meta)
         .select("term", "first_doc", "docs_vb", "tfs_vb", "dls_vb")
         .mapInPandas(_decode_blocks_map, "term string, doc_id long, "
                                          "dl long, tf long")
@@ -681,11 +783,12 @@ def compact_index(spark: SparkSession, path: str) -> IndexPaths:
     new_blocks_meta.count()
     # termstats: df changes when deletes purge; rewriting from the new
     # blocks is also the no-delete identity (sum(n) per term is invariant
-    # under re-sharding)
+    # under re-sharding). One gen=0 partition replaces all contributions.
     paths.write(
         new_blocks_meta.groupBy("term").agg(
-            F.sum("n").cast("long").alias("df")),
-        "termstats", mode="overwrite")
+            F.sum("n").cast("long").alias("df"))
+        .withColumn("gen", F.lit(0)),
+        "termstats", mode="overwrite", partition_by=["gen"])
     block_meta = new_blocks_meta.groupBy("shard_id").agg(
         F.sum("n").cast("long").alias("n_postings"),
         F.count("*").alias("n_blocks"),
@@ -694,10 +797,7 @@ def compact_index(spark: SparkSession, path: str) -> IndexPaths:
         new_ds.groupBy("shard_id").agg(
             F.count("*").alias("n_docs"),
             F.sum("dl").cast("long").alias("sum_dl"),
-            F.expr(
-                "bit_xor(cast(conv(substring(content_sha256,1,15),16,10) "
-                "as bigint))"
-            ).alias("sha256_xor"),
+            _sha_xor_agg(),
         )
         .join(block_meta, "shard_id", "left")
         .na.fill({"n_postings": 0, "n_blocks": 0})
@@ -706,10 +806,16 @@ def compact_index(spark: SparkSession, path: str) -> IndexPaths:
             "sha256_xor",
             F.lit("ok").alias("status"),
             F.lit(float(wall)).alias("wall_time"),
+            F.lit(0).alias("gen"),
         )
     )
-    paths.write(manifest, "manifest", mode="overwrite")
-    _write_scalars(spark, paths, n_docs, avgdl, n_shards, generation=0)
+    paths.write(manifest, "manifest", mode="overwrite",
+                partition_by=["gen"])
+    # keep last_batch_id: a committed batch replayed AFTER compaction
+    # must still be recognized as already applied
+    _write_scalars(spark, paths, n_docs, avgdl, n_shards, generation=0,
+                   sum_dl=sum_dl,
+                   last_batch_id=meta.get("last_batch_id"))
     new_blocks_meta.unpersist()
     cat.drop_table("compact_postings")
     cat.drop_table("compact_docstats")

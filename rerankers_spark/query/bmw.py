@@ -61,11 +61,11 @@ class _TermData:
             # append-safe bound: tf_sat is increasing in tf, decreasing in
             # dl → sat(max_tf, min_dl, CURRENT avgdl) bounds every posting
             # even after incremental appends shifted avgdl (spimi.append_index)
-            mt = g["max_tf"].to_numpy(dtype=np.float64)
-            md = g["min_dl"].to_numpy(dtype=np.float64)
-            self.block_max = (mt * (bm25.K1 + 1.0)) / (
-                mt + bm25.K1 * (1.0 - bm25.B + bm25.B * md / float(avgdl))
-            )
+            from rerankers_spark.index.spimi import _tf_sat
+
+            self.block_max = _tf_sat(
+                g["max_tf"].to_numpy(dtype=np.int64),
+                g["min_dl"].to_numpy(dtype=np.int64), float(avgdl))
         self.docs_vb = g["docs_vb"].to_list()
         self.tfs_vb = g["tfs_vb"].to_list()
         self.dls_vb = g["dls_vb"].to_list()
@@ -122,6 +122,9 @@ class _TermCursor:
         return _INF if self.exhausted else int(self.docs[self.pos])
 
     def score_at_cur(self) -> float:
+        # scalar restatement of spimi._tf_sat (frozen math) — kept inline
+        # because this is the WAND inner loop and a per-call numpy round
+        # trip on scalars measurably slows it
         tf = float(self.tfs[self.pos])
         dl = float(self.dls[self.pos])
         sat = tf * (bm25.K1 + 1.0) / (
@@ -282,16 +285,13 @@ def _exhaustive_single(
     docs_parts: list[np.ndarray] = []
     contrib_parts: list[np.ndarray] = []
     # terms processed in sorted order → deterministic per-doc sum order
+    from rerankers_spark.index.spimi import _tf_sat
+
     for data, idf in sorted(q_terms, key=lambda p: p[0].term):
         for bi in range(data.nblocks):
             docs, tfs, dls = data.decoded(bi)
-            tfs = tfs.astype(np.float64)
-            dls = dls.astype(np.float64)
-            sat = tfs * (bm25.K1 + 1.0) / (
-                tfs + bm25.K1 * (1.0 - bm25.B + bm25.B * dls / avgdl)
-            )
             docs_parts.append(docs)
-            contrib_parts.append(idf * sat)
+            contrib_parts.append(idf * _tf_sat(tfs, dls, avgdl))
     if not docs_parts:
         return []
     all_docs = np.concatenate(docs_parts)
@@ -400,10 +400,14 @@ def query_terms_with_idf(
 ) -> DataFrame:
     """(query_id, term, idf) for the query set — termstats is filtered to
     the query vocabulary BEFORE it is broadcast (semi-reduction), so the
-    full vocab table never moves."""
+    full vocab table never moves. termstats, when not passed, is loaded
+    through spimi.load_termstats (per-generation contributions summed
+    over the COMMITTED generations only)."""
+    from rerankers_spark.index.spimi import load_meta, load_termstats
+
     qt = bm25.query_terms(queries)
     ts = termstats if termstats is not None \
-        else paths.read(spark, "termstats")
+        else load_termstats(spark, paths, load_meta(spark, paths))
     return qt.join(ts, "term", "inner").select(
         "query_id", "term", bm25.idf_col(F.col("df"), n_docs).alias("idf"),
         "df",
@@ -486,6 +490,10 @@ def bmw_topk(
     n_buckets = int(query_buckets)
 
     if qt is None:
+        if termstats is None:
+            from rerankers_spark.index.spimi import load_termstats
+
+            termstats = load_termstats(spark, paths, meta)
         qt = query_terms_with_idf(spark, queries, paths, n_docs, termstats)
     # the bucket expression is instantiated separately per cogroup side so
     # the two plans don't share an attribute (ambiguous-self-join check)
@@ -501,7 +509,9 @@ def bmw_topk(
             [], "query_id long, doc_id long, score double, rank int"
         )
     if blocks is None:
-        blocks = paths.read(spark, "blocks")
+        from rerankers_spark.index.spimi import load_blocks
+
+        blocks = load_blocks(spark, paths, meta)
     if len(term_rows) <= TERM_PUSHDOWN_CAP:
         blocks = blocks.where(
             F.col("term").isin([r["term"] for r in term_rows]))

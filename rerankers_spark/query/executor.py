@@ -15,7 +15,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rerankers_spark.index.spimi import IndexPaths, build_index, load_scalars
+from rerankers_spark.index.spimi import IndexPaths, build_index
 from rerankers_spark.operators import bm25
 from rerankers_spark.operators.topk import topk
 from rerankers_spark.query import bmw
@@ -57,12 +57,19 @@ class Engine:
         self.refresh()
 
     def _handles(self):
-        from rerankers_spark.index.spimi import load_meta
+        from rerankers_spark.index.spimi import (
+            load_blocks,
+            load_meta,
+            load_termstats,
+        )
 
         if self._meta is None:
             self._meta = load_meta(self.spark, self.paths)
-            self._termstats = self.paths.read(self.spark, "termstats")
-            self._blocks = self.paths.read(self.spark, "blocks")
+            # visibility-filtered views: rows of uncommitted (failed
+            # append) generations are excluded — see spimi.visible_bound
+            self._termstats = load_termstats(self.spark, self.paths,
+                                             self._meta)
+            self._blocks = load_blocks(self.spark, self.paths, self._meta)
         return self._meta, self._termstats, self._blocks
 
     @classmethod
@@ -87,7 +94,11 @@ class Engine:
 
         mode='bmw' (block-skipping fast path), 'exhaustive' (vectorized
         decode-all path), or 'auto' (per-query cost-based routing on term
-        document frequency); all are exact and rank-identical.
+        document frequency); all are exact — same doc sets, scores equal
+        to float-sum reassociation (~1e-15). At EXACT score ties the
+        (score desc, doc_id asc) order can therefore differ between
+        modes; consumers comparing modes rank on ROUNDED scores
+        (CLAUDE.md invariant, as the driver-contract queries do).
 
         doc_filter: optional (doc_id) DataFrame restricting results to a
         metadata-selected doc set (e.g. ``corpus.where(lang ==
@@ -146,10 +157,13 @@ class Engine:
 
         from rerankers_spark.index import varbyte as vb_codec
 
-        n_docs, avgdl = load_scalars(self.spark, self.paths)
+        # cached handles: no scalar-collect / termstats scan / parquet
+        # re-listing on repeated searches (the Engine cache exists for this)
+        meta, termstats, blocks = self._handles()
+        n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
         if qt is None:
             qt = bmw.query_terms_with_idf(self.spark, queries, self.paths,
-                                          n_docs)
+                                          n_docs, termstats)
         # bounded pushdown list (see bmw.TERM_PUSHDOWN_CAP): small query
         # vocabularies push a term filter into the parquet scan; larger
         # ones rely on the broadcast join below as the only term filter.
@@ -159,11 +173,10 @@ class Engine:
             return self.spark.createDataFrame(
                 [], "query_id long, doc_id long, score double, rank int"
             )
-        blocks = self.paths.read(self.spark, "blocks")
         if len(terms) <= bmw.TERM_PUSHDOWN_CAP:
             blocks = blocks.where(F.col("term").isin(terms))
         matched = blocks.join(F.broadcast(qt), "term")
-        k1, b = bm25.K1, bm25.B
+        from rerankers_spark.index.spimi import _tf_sat
 
         def _decode_score(batches):
             for pdf in batches:
@@ -171,11 +184,9 @@ class Engine:
                 for row in pdf.itertuples(index=False):
                     docs = vb_codec.delta_decode(row.docs_vb,
                                                  base=row.first_doc)
-                    tfs = vb_codec.decode(row.tfs_vb).astype(np.float64)
-                    dls = vb_codec.decode(row.dls_vb).astype(np.float64)
-                    sat = tfs * (k1 + 1.0) / (
-                        tfs + k1 * (1.0 - b + b * dls / avgdl)
-                    )
+                    tfs = vb_codec.decode(row.tfs_vb)
+                    dls = vb_codec.decode(row.dls_vb)
+                    sat = _tf_sat(tfs, dls, avgdl)
                     qids.append(
                         np.full(len(docs), row.query_id, dtype=np.int64)
                     )
@@ -235,10 +246,11 @@ class Engine:
         rows = sorted(result_df.collect(),
                       key=lambda r: (r["query_id"], r["rank"]))
         for r in rows:
-            doc = Document(
-                text=r["__text"] if "__text" in r.__fields__ else "",
-                doc_id=r["doc_id"],
-            )
+            # a join miss (doc_id absent from text_lookup) yields
+            # __text=None, which Document's text-required check rejects —
+            # coalesce to "" like the no-lookup case
+            text = (r["__text"] if "__text" in r.__fields__ else None) or ""
+            doc = Document(text=text, doc_id=r["doc_id"])
             res = Result(document=doc, score=r["score"], rank=r["rank"])
             qid = r["query_id"]
             if qid not in out:

@@ -72,6 +72,26 @@ class Catalog:
         else:
             w.parquet(self._path(name))
 
+    def delete_partitions(self, name: str, col: str, values) -> None:
+        """Remove whole partitions (orphan cleanup for the append commit
+        protocol): partition-dir deletes in parquet mode, a partition-
+        predicate DELETE on Iceberg."""
+        values = list(values)
+        if not values:
+            return
+        if self.catalog_name:
+            in_list = ", ".join(str(v) for v in values)
+            self.spark.sql(
+                f"DELETE FROM {self.catalog_name}.{name} "
+                f"WHERE {col} IN ({in_list})"
+            )
+        else:
+            import shutil
+
+            for v in values:
+                shutil.rmtree(f"{self._path(name)}/{col}={v}",
+                              ignore_errors=True)
+
     def drop_table(self, name: str) -> None:
         if self.catalog_name:
             self.spark.sql(f"DROP TABLE IF EXISTS {self.catalog_name}.{name}")

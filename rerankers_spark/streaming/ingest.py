@@ -7,7 +7,10 @@ Spark-native extensions a continuously-growing corpus needs:
   ``foreachBatch`` → :func:`spimi.append_index`. Each micro-batch becomes
   a new index generation (doc-disjoint shards), so query code is
   unchanged and BM25 stays exact under the updated global stats (the
-  bmw 'safe' bound mode). checkpointLocation gives exactly-once batches.
+  bmw 'safe' bound mode). foreachBatch is AT-LEAST-once; end-to-end
+  exactly-once comes from append_index's commit protocol (epoch id
+  recorded at the scalars commit + orphan-partition cleanup on retry),
+  not from the checkpoint alone.
 * :func:`streaming_doc_stats` — running token/doc counts with watermark.
 * :func:`windowed_event_counts` — event-time windows + watermark for
   late data over an events stream (the classic pattern, used by tests
@@ -56,7 +59,9 @@ def stream_index_appends(
         corpus = batch_df.withColumn(
             "doc_id", F.xxhash64("repo", "path", "commit")
         ).withColumn("content_sha256", F.sha2(F.col("content"), 256))
-        spimi.append_index(spark, corpus, index_path)
+        # batch_id = the replay guard: foreachBatch is at-least-once, and
+        # append_index's commit protocol turns redelivery into a no-op
+        spimi.append_index(spark, corpus, index_path, batch_id=batch_id)
 
     return (
         stream.writeStream.foreachBatch(_append)

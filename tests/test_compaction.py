@@ -41,8 +41,10 @@ def compacted(spark):
         (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
         for r in eng.search(q, k=10, mode="bmw").collect()
     )
-    ts_before = {r["term"]: r["df"] for r in
-                 spark.read.parquet(f"{BASE}/termstats").collect()}
+    # termstats holds per-generation df contributions — aggregate
+    ts_before: dict = {}
+    for r in spark.read.parquet(f"{BASE}/termstats").collect():
+        ts_before[r["term"]] = ts_before.get(r["term"], 0) + r["df"]
     spimi.compact_index(spark, BASE)
     return pdf, q, before, ts_before
 
