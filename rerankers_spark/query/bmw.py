@@ -502,7 +502,9 @@ def bmw_topk(
 
     # Bounded term-list pushdown (see TERM_PUSHDOWN_CAP). limit() means the
     # driver never holds more than CAP+1 terms even for a huge query log.
-    term_rows = qt.select("term").distinct() \
+    # Collected from the RAW query terms (no termstats join in this job);
+    # OOV terms in the list are harmless — they match no blocks.
+    term_rows = bm25.query_terms(queries).select("term").distinct() \
         .limit(TERM_PUSHDOWN_CAP + 1).collect()
     if not term_rows:
         return spark.createDataFrame(

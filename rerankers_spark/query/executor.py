@@ -36,6 +36,8 @@ class Engine:
         self._blocks = None
 
     def refresh(self) -> None:
+        if self._termstats is not None:
+            self._termstats.unpersist()
         self._meta = None
         self._termstats = None
         self._blocks = None
@@ -66,9 +68,11 @@ class Engine:
         if self._meta is None:
             self._meta = load_meta(self.spark, self.paths)
             # visibility-filtered views: rows of uncommitted (failed
-            # append) generations are excluded — see spimi.visible_bound
+            # append) generations are excluded — see spimi.visible_bound.
+            # termstats is persisted: its per-generation aggregation would
+            # otherwise re-run inside every query job that joins it.
             self._termstats = load_termstats(self.spark, self.paths,
-                                             self._meta)
+                                             self._meta).persist()
             self._blocks = load_blocks(self.spark, self.paths, self._meta)
         return self._meta, self._termstats, self._blocks
 
