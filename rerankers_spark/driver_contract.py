@@ -369,6 +369,46 @@ def q_bm25_topk_delete_compacted(spark: SparkSession, sf_dir: str
     return _bmw_rounded_top10(spark, paths)
 
 
+def q_bm25_topk_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered (partial) compaction under the full SQL oracle: build on a
+    third of the corpus, append the other two thirds as two more
+    generations, then merge ONLY the two append generations
+    (Lucene-style tiered merge — the bulk generation is not rewritten).
+    The index is left at 2 visible generations (asserted), and answers
+    must still hash-match the from-scratch DuckDB BM25 oracle."""
+    import os
+    import shutil
+
+    from rerankers_spark.index.spimi import (
+        IndexPaths,
+        append_index,
+        build_index,
+        compact_index,
+        load_meta,
+        visible_generations,
+    )
+    from rerankers_spark.query import bmw as bmw_mod
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    idx = f"/tmp/contract_index_tiered_{tag}"
+    shutil.rmtree(idx, ignore_errors=True)
+    third = F.pmod(F.xxhash64("doc_id"), F.lit(3))
+    paths = build_index(spark, corpus.where(third == 0), idx, n_shards=8)
+    append_index(spark, corpus.where(third == 1), idx)
+    append_index(spark, corpus.where(third == 2), idx)
+    gens = visible_generations(load_meta(spark, paths))
+    assert len(gens) == 3
+    compact_index(spark, idx, generations=gens[1:])
+    after = visible_generations(load_meta(spark, paths))
+    assert len(after) == 2 and after[0] == gens[0]
+    raw = bmw_mod.bmw_topk(spark, _queries_df(spark), paths, k=50)
+    rounded = raw.select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
+    )
+    return topk(rounded, 10).select("query_id", "doc_id", "rank", "score")
+
+
 _SQL_BM25_TOPK_FILTERED = f"""
 WITH q(query_id, query) AS (VALUES {_SQL_QUERY_VALUES}),
 {_SQL_CORPUS_CTES},
@@ -720,6 +760,42 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media).select(
         "doc_id", "media_type", "n_bytes", "payload_sha256", "decoder"
     )
+
+
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORACLE-CHECKABLE half of the multimodal path: payloads derived
+    deterministically from documents.text (UTF-8 bytes), pushed through
+    the SAME mapInPandas feature extractor as multimodal_features —
+    n_bytes and payload_sha256 are exact DuckDB-recomputable facts, so
+    the binary-column plumbing (schema, Arrow batching, byte fidelity
+    through the parquet→Arrow→pandas round trip) sits under the hash
+    gate. Only the stub feature vector stays rows-only
+    (multimodal_features)."""
+    from rerankers_spark.sources import multimodal
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.abs(F.col("doc_id")) % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    return multimodal.extract_features(media).select(
+        "doc_id", "media_type", "n_bytes", "payload_sha256"
+    )
+
+
+_SQL_MULTIMODAL_METADATA = """
+SELECT doc_id,
+       CASE abs(doc_id) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text) AS payload_sha256
+FROM documents
+"""
 
 
 def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1097,6 +1173,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
                           _sql_bm25_topk_lifecycle(purged=False)),
     "bm25_topk_delete_compacted": (q_bm25_topk_delete_compacted,
                                    _sql_bm25_topk_lifecycle(purged=True)),
+    "bm25_topk_tiered": (q_bm25_topk_tiered, _SQL_BM25_TOPK),
     "lsh_candidate_pairs": (q_lsh_candidate_pairs, _sql_lsh_pairs()),
     "simhash_near_pairs": (q_simhash_near_pairs, _sql_simhash_pairs()),
     "lsh_ann_topk": (q_lsh_ann_topk, None),
@@ -1104,6 +1181,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "ann_recall": (q_ann_recall, None),
     "embedding_near_dup": (q_embedding_near_dup, _SQL_EMBEDDING_NEAR_DUP),
     "multimodal_features": (q_multimodal_features, None),
+    "multimodal_metadata": (q_multimodal_metadata, _SQL_MULTIMODAL_METADATA),
     "minhash_signatures": (q_minhash_signatures, _sql_minhash()),
     "simhash": (q_simhash, _sql_simhash()),
     "ngram_jaccard_topk": (q_ngram_jaccard_topk, _SQL_NGRAM_JACCARD),

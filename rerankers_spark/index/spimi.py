@@ -279,19 +279,56 @@ class IndexPaths:
         return self.catalog(spark).table_exists(name)
 
 
-def visible_bound(meta: dict) -> int:
-    """Exclusive shard-id upper bound of COMMITTED data. The scalars
-    write is the append commit point (see append_index): rows whose
-    shard_id falls at/above this bound belong to an uncommitted (failed
-    or in-flight) generation and must be invisible to every reader."""
-    return (int(meta.get("generation", 0)) + 1) * int(meta["n_shards"])
+def visible_generations(meta: dict) -> list[int]:
+    """The COMMITTED generation-id set, sorted. Stored explicitly in
+    scalars (``visible_gens``, comma-separated) since compaction started
+    retiring arbitrary subsets; scalars written before that carry only
+    ``generation`` (then = highest committed id) and the visible set is
+    the full prefix. The scalars write is the commit point for every
+    membership change (append adds an id, compaction swaps a subset for
+    one new id): rows of any table whose generation is not in this set
+    are uncommitted/retired and must be invisible to every reader."""
+    vg = meta.get("visible_gens")
+    if vg is not None and str(vg) != "":
+        return sorted(int(g) for g in str(vg).split(","))
+    return list(range(int(meta.get("generation", 0)) + 1))
+
+
+def next_generation(meta: dict) -> int:
+    """Next unused generation id (monotonic — retired ids are never
+    reused, so a crashed writer's orphan partitions can always be
+    cleaned by the next writer that allocates the same id)."""
+    ng = meta.get("next_gen")
+    if ng is not None:
+        return int(ng)
+    return int(meta.get("generation", 0)) + 1
+
+
+def _gen_shards(gens: list[int], n_shards: int) -> list[int]:
+    """Shard ids of the given generations (gen g owns
+    ``[g*n_shards, (g+1)*n_shards)``)."""
+    return [g * n_shards + s for g in gens for s in range(n_shards)]
+
+
+def shard_pred(meta: dict, gens: list[int] | None = None):
+    """Column predicate selecting the shard_ids of ``gens`` (default:
+    the visible set) — an OR of per-generation ranges, so it stays a
+    handful of comparisons however many shards a generation has (and
+    partition-prunes the shard_id directories)."""
+    n = int(meta["n_shards"])
+    if gens is None:
+        gens = visible_generations(meta)
+    pred = F.lit(False)
+    for g in gens:
+        pred = pred | (
+            (F.col("shard_id") >= g * n) & (F.col("shard_id") < (g + 1) * n))
+    return pred
 
 
 def load_blocks(spark: SparkSession, paths: IndexPaths,
                 meta: dict) -> DataFrame:
-    """The committed block set (orphan generations filtered out)."""
-    return paths.read(spark, "blocks").where(
-        F.col("shard_id") < visible_bound(meta))
+    """The committed block set (orphan/retired generations filtered)."""
+    return paths.read(spark, "blocks").where(shard_pred(meta))
 
 
 def load_termstats(spark: SparkSession, paths: IndexPaths,
@@ -302,7 +339,7 @@ def load_termstats(spark: SparkSession, paths: IndexPaths,
     every other table, visibility-gated by the same scalars commit."""
     return (
         paths.read(spark, "termstats")
-        .where(F.col("gen") <= int(meta.get("generation", 0)))
+        .where(F.col("gen").isin(visible_generations(meta)))
         .groupBy("term").agg(F.sum("df").cast("long").alias("df"))
     )
 
@@ -385,15 +422,6 @@ def build_index(
         sum_dl = int(obs.get["sum_dl"] or 0)  # 0-doc corpus: sum is NULL
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
 
-    # Independent writes overlap on a threaded scheduler: the scalars
-    # write (tiny, but a full commit-protocol round-trip on a loaded
-    # store) runs while the wide postings stage builds. Same pattern for
-    # the termstats/manifest pair below — on a real cluster these are
-    # separate concurrent jobs sharing the executor pool.
-    pool = ThreadPoolExecutor(max_workers=2)
-    scalars_f = pool.submit(_write_scalars, spark, paths, n_docs, avgdl,
-                            n_shards, 0, sum_dl, None)
-
     # ---- postings for not-yet-done shards ----------------------------------
     todo = corpus.where(~F.col("shard_id").isin(list(done))) if done else corpus
     p = corpus_postings_arrow(todo)
@@ -446,31 +474,53 @@ def build_index(
         paths.write(manifest, "manifest", mode="overwrite",
                     partition_by=["gen"])
 
-    ts_f = pool.submit(_write_termstats)
-    mf_f = pool.submit(_write_manifest)
-    scalars_f.result()
-    ts_f.result()
-    mf_f.result()
-    pool.shutdown()
-    all_blocks_meta.unpersist()
+    # The two independent derived writes overlap on a threaded scheduler
+    # (separate concurrent jobs sharing the executor pool on a real
+    # cluster); the context manager propagates the FIRST failure and
+    # tears the pool down even when a stage throws.
+    try:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            ts_f = pool.submit(_write_termstats)
+            mf_f = pool.submit(_write_manifest)
+            ts_f.result()
+            mf_f.result()
+    finally:
+        all_blocks_meta.unpersist()
+    # COMMIT (written LAST, matching the append/compact protocol): a
+    # reader that finds scalars is guaranteed blocks/termstats/manifest
+    # are complete; a crash before this point leaves no committed index.
+    _write_scalars(spark, paths, n_docs, avgdl, n_shards,
+                   visible_gens=[0], next_gen=1, sum_dl=sum_dl)
     return paths
 
 
 def _write_scalars(spark: SparkSession, paths: IndexPaths, n_docs: int,
-                   avgdl: float, n_shards: int, generation: int,
+                   avgdl: float, n_shards: int,
+                   visible_gens: list[int],
+                   next_gen: int,
                    sum_dl: int | None = None,
                    last_batch_id: str | None = None) -> None:
     """The scalars row is the index's COMMIT POINT: every other table is
-    append-only with orphan rows made invisible by visible_bound /
-    load_termstats, so the single-row scalars overwrite atomically
-    publishes a generation. sum_dl makes incremental avgdl updates exact
-    (no float drift); last_batch_id is the streaming replay guard."""
+    append-only with orphan rows made invisible by visible_generations /
+    shard_pred / load_termstats, so the single-row scalars overwrite
+    atomically publishes any membership change (append adds a
+    generation, compaction swaps a subset for one merged generation).
+    ``generation`` is kept as the COUNT of visible generations minus one
+    — the "how fragmented is this index" signal query code keys bound
+    modes off and maintenance keys merge policy off — while
+    ``visible_gens`` carries the actual ids. sum_dl makes incremental
+    avgdl updates exact (no float drift); last_batch_id is the
+    streaming replay guard."""
     if sum_dl is None:
         sum_dl = int(round(avgdl * n_docs))
+    visible_gens = sorted(visible_gens)
+    generation = len(visible_gens) - 1
     df = spark.createDataFrame(
-        [(n_docs, avgdl, n_shards, generation, sum_dl, last_batch_id)],
+        [(n_docs, avgdl, n_shards, generation, sum_dl, last_batch_id,
+          ",".join(str(g) for g in visible_gens), int(next_gen))],
         "n_docs long, avgdl double, n_shards int, generation int, "
-        "sum_dl long, last_batch_id string",
+        "sum_dl long, last_batch_id string, visible_gens string, "
+        "next_gen int",
     ).coalesce(1)
     paths.write(df, "scalars", mode="overwrite")
 
@@ -512,6 +562,8 @@ def index_stats(spark: SparkSession, paths: IndexPaths) -> dict:
         if vb_bytes else None,
         # maintenance signals (compact when either grows large)
         "generation": int(meta.get("generation", 0)),
+        "n_generations": len(visible_generations(meta)),
+        "visible_gens": visible_generations(meta),
         "n_tombstones": n_tomb,
     }
 
@@ -549,7 +601,8 @@ def append_index(
     paths = IndexPaths(path)
     meta = load_meta(spark, paths)
     n_shards = int(meta["n_shards"])
-    gen = int(meta["generation"]) + 1
+    vis = visible_generations(meta)
+    gen = next_generation(meta)
     if batch_id is not None and meta.get("last_batch_id") == str(batch_id):
         return paths  # replay of a committed batch (exactly-once)
     cat = paths.catalog(spark)
@@ -609,7 +662,8 @@ def append_index(
                 partition_by=["gen"])
 
     # COMMIT: publish the generation (+ the replay guard)
-    _write_scalars(spark, paths, n_docs, avgdl, n_shards, generation=gen,
+    _write_scalars(spark, paths, n_docs, avgdl, n_shards,
+                   visible_gens=vis + [gen], next_gen=gen + 1,
                    sum_dl=sum_dl,
                    last_batch_id=(None if batch_id is None
                                   else str(batch_id)))
@@ -691,38 +745,57 @@ def _decode_blocks_map(batches: Iterable[pd.DataFrame]
         })
 
 
-def compact_index(spark: SparkSession, path: str) -> IndexPaths:
-    """Merge every generation back into a single generation-0 layout.
+def compact_index(spark: SparkSession, path: str,
+                  generations: list[int] | None = None) -> IndexPaths:
+    """Merge generations into ONE new generation (Lucene tiered merge).
 
-    Index-only: postings are recovered by DECODING the existing blocks —
-    the corpus is never re-read or re-tokenized (at scale the compressed
-    index is ~8× smaller than the text, so this is one cheap pass over
-    the index, not a rebuild). Rows are re-sharded by
-    ``pmod(xxhash64(doc_id), n_shards)`` and re-blocked under the CURRENT
-    global avgdl, so:
+    generations=None merges EVERY visible generation (full compaction);
+    a list merges only those generations — e.g. the K smallest append
+    generations — leaving the rest untouched, so each maintenance
+    cycle's IO is bounded by the merged generations' size instead of a
+    full-index rewrite (the 100-TB shape: gen-0 holds the bulk build and
+    is only rewritten when a full compact is explicitly requested).
 
-    * ``max_tfsat`` is exact again → query-time WAND switches back from
-      the looser append-safe ``(max_tf, min_dl)`` bound to the tightest
-      'exact' bound mode (bmw._TermData), restoring skip efficiency
-      that incremental appends (append_index) progressively erode;
-    * the shard count drops from ``(generation+1) * n_shards`` back to
-      ``n_shards`` — streaming ingest at 100 TB otherwise accretes tiny
-      generation shards (small files + scheduler overhead).
+    Index-only: postings are recovered by DECODING the selected
+    generations' blocks — the corpus is never re-read or re-tokenized
+    (at scale the compressed index is ~8× smaller than the text). Rows
+    re-shard by ``pmod(xxhash64(doc_id), n_shards)`` into the NEW
+    generation's shard range and re-block under the current global
+    avgdl. After a FULL compact exactly one generation is visible, so
+    query-time WAND switches back from the looser append-safe
+    ``(max_tf, min_dl)`` bound to the tightest 'exact' bound mode
+    (bmw._TermData), and the visible shard count collapses back to
+    ``n_shards`` — streaming ingest otherwise accretes tiny generation
+    shards (small files + scheduler overhead).
 
-    Physical delete purge: tombstoned docs (delete_docs) are anti-joined
-    out of both postings and docstats, global stats (N, avgdl, df) are
-    recomputed over the survivors, and the tombstones table is dropped —
-    after compaction the index is byte-equivalent in meaning to one
-    built fresh on the remaining corpus.
+    Physical delete purge happens only on a FULL compact: the tombstone
+    set is SNAPSHOT once (one collect; the same snapshot feeds both
+    anti-joins, so docstats and postings can never purge different
+    sets), tombstoned docs are removed from postings and docstats,
+    global stats (N, avgdl, df) are recomputed over the survivors, and
+    the snapshotted tombstone rows are dropped — deletes that land
+    DURING compaction survive in the table and stay excluded at query
+    time under deferred stats. A partial compact carries tombstoned
+    postings through unpurged (stats unchanged → pure re-layout).
 
-    Decoded postings are materialized to a staging table first so the
-    blocks/docstats overwrite never reads its own output (works for both
-    parquet paths and an Iceberg catalog). Invariants (test-asserted):
-    query results are IDENTICAL pre/post (BM25 depends only on global
-    stats, never on shard membership; with pending deletes, identical to
-    post-delete query results under the recomputed-stats semantics),
-    and with no pending deletes n_docs/avgdl/termstats totals and the
-    manifest's global sha256-xor lineage are preserved.
+    Crash safety — the same commit protocol as append_index: every
+    output lands in the new generation's partitions (docstats/blocks by
+    shard range, termstats/manifest by gen), INVISIBLE until the final
+    single-row scalars overwrite publishes ``visible = (visible - merged)
+    + [new]``. A crash at any earlier point leaves the old index fully
+    intact plus invisible orphans, which the next writer to allocate
+    the same generation id deletes first. Retiring the merged
+    generations' partitions happens post-commit and is best-effort: a
+    failure there leaves dead (invisible) files, never wrong answers.
+    Decoded postings are staged to ``compact_postings`` first so the
+    blocks append never reads the table it writes.
+
+    Invariants (test-asserted): query results are IDENTICAL pre/post
+    (BM25 depends only on global stats, never on shard membership; with
+    pending deletes on a full compact, identical to post-delete results
+    under the recomputed-stats semantics), and with no pending deletes
+    n_docs/avgdl/termstats totals and the manifest's global sha256-xor
+    lineage are preserved.
     """
     from pyspark.sql import Observation
 
@@ -730,65 +803,94 @@ def compact_index(spark: SparkSession, path: str) -> IndexPaths:
     meta = load_meta(spark, paths)
     n_shards = int(meta["n_shards"])
     cat = paths.catalog(spark)
-    tomb = (paths.read(spark, "tombstones").select("doc_id").distinct()
-            if paths.exists(spark, "tombstones") else None)
+    vis = visible_generations(meta)
+    sel = sorted(int(g) for g in generations) \
+        if generations is not None else list(vis)
+    if not sel:
+        raise ValueError("compact_index: empty generation selection")
+    bad = set(sel) - set(vis)
+    if bad:
+        raise ValueError(
+            f"compact_index: generations {sorted(bad)} are not visible "
+            f"(visible: {vis})")
+    full = set(sel) == set(vis)
+    # tombstone SNAPSHOT (full compact only — a partial compact can't
+    # purge: tombstones don't record which generation holds a doc)
+    tomb_arr = load_tombstones(spark, paths) if full else None
+    purge = tomb_arr is not None
+    tomb_df = (spark.createDataFrame([(int(d),) for d in tomb_arr],
+                                     "doc_id long") if purge else None)
 
-    bound = visible_bound(meta)
+    new_gen = next_generation(meta)
+    lo = new_gen * n_shards
+    new_shards = list(range(lo, lo + n_shards))
+    # orphan cleanup of a previous failed attempt at this generation id
+    cat.delete_partitions("blocks", "shard_id", new_shards)
+    cat.delete_partitions("docstats", "shard_id", new_shards)
+    cat.delete_partitions("termstats", "gen", [new_gen])
+    cat.delete_partitions("manifest", "gen", [new_gen])
+
+    sel_pred = shard_pred(meta, sel)
+    reshard = (F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)) + F.lit(lo)) \
+        .cast("int")
+
     t0 = time.time()
-    # docstats first (VISIBLE rows only — orphans of failed appends are
-    # dropped here for good): the purge shifts N/avgdl, and the re-blocked
-    # max_tfsat must be exact under the NEW avgdl. Observed during the
-    # staging write (no separate agg job).
-    ds = paths.read(spark, "docstats").where(
-        F.col("shard_id") < bound
-    ).withColumn(
-        "shard_id", F.pmod(F.xxhash64("doc_id"),
-                           F.lit(n_shards)).cast("int"))
-    if tomb is not None:
-        ds = ds.join(tomb, "doc_id", "left_anti")
-    obs = Observation("compact_totals")
+    # docstats first: a full compact's purge shifts N/avgdl, and the
+    # re-blocked max_tfsat must be exact under the NEW avgdl. Totals are
+    # observed during the staging write (no separate agg job).
+    ds = paths.read(spark, "docstats").where(sel_pred) \
+        .withColumn("shard_id", reshard)
+    if purge:
+        ds = ds.join(tomb_df, "doc_id", "left_anti")
+    obs = Observation(f"compact_totals_{new_gen}")
     paths.write(
         ds.observe(obs, F.count(F.lit(1)).alias("n"),
                    F.sum("dl").alias("sum_dl")),
         "compact_docstats", mode="overwrite")
-    n_docs = int(obs.get["n"])
-    sum_dl = int(obs.get["sum_dl"] or 0)
+    sel_n = int(obs.get["n"])
+    sel_sum = int(obs.get["sum_dl"] or 0)
+    if full:
+        n_docs, sum_dl = sel_n, sel_sum
+    else:
+        # pure re-layout: global stats are untouched
+        n_docs = int(meta["n_docs"])
+        sum_dl = int(meta.get("sum_dl") or
+                     round(float(meta["avgdl"]) * n_docs))
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
     paths.write(paths.read(spark, "compact_docstats"), "docstats",
-                mode="overwrite", partition_by=["shard_id"])
+                mode="append", partition_by=["shard_id"])
 
     postings = (
-        load_blocks(spark, paths, meta)
+        paths.read(spark, "blocks").where(sel_pred)
         .select("term", "first_doc", "docs_vb", "tfs_vb", "dls_vb")
         .mapInPandas(_decode_blocks_map, "term string, doc_id long, "
                                          "dl long, tf long")
-        .withColumn("shard_id", F.pmod(F.xxhash64("doc_id"),
-                                       F.lit(n_shards)).cast("int"))
+        .withColumn("shard_id", reshard)
         .select("shard_id", "term", "doc_id", "dl", "tf")
     )
-    if tomb is not None:
-        postings = postings.join(tomb, "doc_id", "left_anti")
+    if purge:
+        postings = postings.join(tomb_df, "doc_id", "left_anti")
     paths.write(postings, "compact_postings", mode="overwrite")
 
     blocks = paths.read(spark, "compact_postings").groupBy(
         "shard_id").applyInPandas(
         lambda pdf: _build_shard_blocks(pdf, avgdl), BLOCKS_SCHEMA)
-    paths.write(blocks, "blocks", mode="overwrite",
+    paths.write(blocks, "blocks", mode="append",
                 partition_by=["shard_id"])
 
     wall = time.time() - t0
-    new_ds = paths.read(spark, "docstats")
-    new_blocks_meta = paths.read(spark, "blocks").select(
+    gen_pred = shard_pred(meta, [new_gen])
+    new_ds = paths.read(spark, "docstats").where(gen_pred)
+    new_blocks_meta = paths.read(spark, "blocks").where(gen_pred).select(
         "shard_id", "term", "n").cache()
     new_blocks_meta.count()
-    # termstats: df changes when deletes purge; rewriting from the new
-    # blocks is also the no-delete identity (sum(n) per term is invariant
-    # under re-sharding). One gen=0 partition replaces all contributions.
+    # termstats contribution of the merged generation (sum(n) per term is
+    # invariant under re-sharding, so a no-delete merge preserves df)
     paths.write(
         new_blocks_meta.groupBy("term").agg(
             F.sum("n").cast("long").alias("df"))
-        .withColumn("gen", F.lit(0)),
-        "termstats", mode="overwrite", partition_by=["gen"])
+        .withColumn("gen", F.lit(new_gen)),
+        "termstats", mode="append", partition_by=["gen"])
     block_meta = new_blocks_meta.groupBy("shard_id").agg(
         F.sum("n").cast("long").alias("n_postings"),
         F.count("*").alias("n_blocks"),
@@ -806,18 +908,44 @@ def compact_index(spark: SparkSession, path: str) -> IndexPaths:
             "sha256_xor",
             F.lit("ok").alias("status"),
             F.lit(float(wall)).alias("wall_time"),
-            F.lit(0).alias("gen"),
+            F.lit(new_gen).alias("gen"),
         )
     )
-    paths.write(manifest, "manifest", mode="overwrite",
+    paths.write(manifest, "manifest", mode="append",
                 partition_by=["gen"])
-    # keep last_batch_id: a committed batch replayed AFTER compaction
-    # must still be recognized as already applied
-    _write_scalars(spark, paths, n_docs, avgdl, n_shards, generation=0,
+    new_blocks_meta.unpersist()
+
+    # COMMIT: swap the merged generations for the new one. last_batch_id
+    # is kept so a committed batch replayed AFTER compaction is still
+    # recognized as applied.
+    new_vis = sorted(set(vis) - set(sel)) + [new_gen]
+    _write_scalars(spark, paths, n_docs, avgdl, n_shards,
+                   visible_gens=new_vis, next_gen=new_gen + 1,
                    sum_dl=sum_dl,
                    last_batch_id=meta.get("last_batch_id"))
-    new_blocks_meta.unpersist()
+
+    # POST-COMMIT GC (best-effort — the rows are already invisible)
+    retired = _gen_shards(sel, n_shards)
+    cat.delete_partitions("blocks", "shard_id", retired)
+    cat.delete_partitions("docstats", "shard_id", retired)
+    cat.delete_partitions("termstats", "gen", sel)
+    cat.delete_partitions("manifest", "gen", sel)
     cat.drop_table("compact_postings")
     cat.drop_table("compact_docstats")
-    cat.drop_table("tombstones")
+    if purge:
+        # drop only the SNAPSHOTTED tombstones; deletes that landed during
+        # compaction were not purged and must stay (single-writer window:
+        # concurrent delete_docs between this read and rewrite is the one
+        # documented race — run deletes and compaction from one scheduler)
+        cur = [int(r["doc_id"]) for r in paths.read(spark, "tombstones")
+               .select("doc_id").distinct().collect()] \
+            if paths.exists(spark, "tombstones") else []
+        snap = set(int(d) for d in tomb_arr)
+        remaining = sorted(d for d in cur if d not in snap)
+        cat.drop_table("tombstones")
+        if remaining:
+            paths.write(
+                spark.createDataFrame([(d,) for d in remaining],
+                                      "doc_id long"),
+                "tombstones", mode="append")
     return paths

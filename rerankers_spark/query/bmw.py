@@ -433,6 +433,7 @@ def bmw_topk(
     query_buckets: int | None = None,
     keep_docs: DataFrame | None = None,
     qt: DataFrame | None = None,
+    tomb_bc="load",
 ) -> DataFrame:
     """(query_id, doc_id, score, rank): exact BM25 top-k via BMW.
 
@@ -463,14 +464,26 @@ def bmw_topk(
     qt: optional precomputed ``query_terms_with_idf`` table for these
     queries (the auto router computes it once for routing and passes it
     to both branches instead of re-tokenizing).
+
+    tomb_bc: the sentinel "load" (default) loads + broadcasts the
+    tombstone array per call; a long-lived Engine instead passes its
+    CACHED Broadcast (or None for no tombstones) so repeated searches
+    reuse one broadcast instead of re-collecting and re-shipping the
+    array every query (executor.Engine._handles).
     """
-    from rerankers_spark.index.spimi import load_meta, load_tombstones
+    from rerankers_spark.index.spimi import (
+        _gen_shards,
+        load_meta,
+        load_tombstones,
+        visible_generations,
+    )
 
     if meta is None:
         meta = load_meta(spark, paths)
-    tomb = load_tombstones(spark, paths)
-    tomb_bc = (spark.sparkContext.broadcast(tomb)
-               if tomb is not None else None)
+    if isinstance(tomb_bc, str) and tomb_bc == "load":
+        tomb = load_tombstones(spark, paths)
+        tomb_bc = (spark.sparkContext.broadcast(tomb)
+                   if tomb is not None else None)
     keep_bc = None
     if keep_docs is not None:
         keep_arr = np.array(
@@ -479,10 +492,15 @@ def bmw_topk(
         keep_arr.sort()
         keep_bc = spark.sparkContext.broadcast(keep_arr)
     if bound_mode is None:
+        # >1 visible generation → per-generation avgdls differ from the
+        # current global avgdl, so build-time max_tfsat may be stale →
+        # the avgdl-independent 'safe' bound. One generation (fresh
+        # build or post-full-compact) → tightest 'exact' bound.
         bound_mode = "safe" if int(meta.get("generation", 0)) > 0 else "exact"
     n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
-    n_shards_total = (int(meta.get("generation", 0)) + 1) * int(
-        meta.get("n_shards", 32))
+    shard_ids = _gen_shards(visible_generations(meta),
+                            int(meta.get("n_shards", 32)))
+    n_shards_total = len(shard_ids)
     if query_buckets is None:
         query_buckets = max(
             1, spark.sparkContext.defaultParallelism
@@ -527,8 +545,8 @@ def bmw_topk(
     # queries → every shard (shard results are doc-disjoint and merge
     # exactly); the query side is rows of (id, term, idf) — tiny next to
     # block bytes, so the |shards|× replication is the cheap direction.
-    shards = spark.range(n_shards_total).select(
-        F.col("id").cast("int").alias("shard_id"))
+    shards = spark.createDataFrame([(s,) for s in shard_ids],
+                                   "shard_id int")
     q_side = qt.select("query_id", "term", "idf",
                        _bucket_col().alias("bucket")) \
         .crossJoin(F.broadcast(shards))

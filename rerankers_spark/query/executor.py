@@ -34,6 +34,11 @@ class Engine:
         self._meta: dict | None = None
         self._termstats = None
         self._blocks = None
+        # cached tombstone broadcast: "stale" → (re)load on next search.
+        # One collect + one broadcast per index STATE, not per query
+        # (invalidated by delete()/refresh()); dropped handles are
+        # reclaimed by Spark's ContextCleaner once unreferenced.
+        self._tomb_bc = "stale"
 
     def refresh(self) -> None:
         if self._termstats is not None:
@@ -41,6 +46,7 @@ class Engine:
         self._meta = None
         self._termstats = None
         self._blocks = None
+        self._tomb_bc = "stale"
 
     def delete(self, doc_ids: DataFrame) -> None:
         """Soft-delete docs from the index (tombstones; see
@@ -49,13 +55,17 @@ class Engine:
         from rerankers_spark.index.spimi import delete_docs
 
         delete_docs(self.spark, self.paths.root, doc_ids)
+        self._tomb_bc = "stale"
 
-    def compact(self) -> None:
-        """Merge generations + purge tombstones (spimi.compact_index);
-        resets cached handles."""
+    def compact(self, generations: list[int] | None = None) -> None:
+        """Merge generations — all of them (full compact: purges
+        tombstones, restores exact bounds) or a selected subset
+        (Lucene-style tiered merge, spimi.compact_index); resets cached
+        handles."""
         from rerankers_spark.index.spimi import compact_index
 
-        compact_index(self.spark, self.paths.root)
+        compact_index(self.spark, self.paths.root,
+                      generations=generations)
         self.refresh()
 
     def _handles(self):
@@ -63,17 +73,24 @@ class Engine:
             load_blocks,
             load_meta,
             load_termstats,
+            load_tombstones,
         )
 
         if self._meta is None:
             self._meta = load_meta(self.spark, self.paths)
             # visibility-filtered views: rows of uncommitted (failed
-            # append) generations are excluded — see spimi.visible_bound.
-            # termstats is persisted: its per-generation aggregation would
-            # otherwise re-run inside every query job that joins it.
+            # append) or retired (compacted-away) generations are
+            # excluded — see spimi.visible_generations. termstats is
+            # persisted: its per-generation aggregation would otherwise
+            # re-run inside every query job that joins it.
             self._termstats = load_termstats(self.spark, self.paths,
                                              self._meta).persist()
             self._blocks = load_blocks(self.spark, self.paths, self._meta)
+        if isinstance(self._tomb_bc, str):
+            tomb = load_tombstones(self.spark, self.paths)
+            self._tomb_bc = (
+                self.spark.sparkContext.broadcast(tomb)
+                if tomb is not None else None)
         return self._meta, self._termstats, self._blocks
 
     @classmethod
@@ -91,6 +108,14 @@ class Engine:
     #: vectorized exhaustive decode wins there.
     AUTO_DENSE_DF_RATIO = 0.10
 
+    #: doc_filter keep-lists up to this many ids ship to the BMW kernels
+    #: as a sorted broadcast array (~80 MB at the cap); a larger filter
+    #: (a low-selectivity predicate over a 100-TB corpus can select
+    #: billions of ids) would OOM the driver building the array, so
+    #: search() auto-routes it to the exhaustive path, where the filter
+    #:  is a set-oriented semi-join with no driver materialization.
+    KEEP_BROADCAST_CAP = 10_000_000
+
     def search(self, queries: DataFrame, k: int = 10,
                mode: str = "bmw",
                doc_filter: Optional[DataFrame] = None) -> DataFrame:
@@ -107,13 +132,23 @@ class Engine:
         doc_filter: optional (doc_id) DataFrame restricting results to a
         metadata-selected doc set (e.g. ``corpus.where(lang ==
         'python').select('doc_id')``) with full-corpus stats — see
-        bmw.bmw_topk keep_docs.
+        bmw.bmw_topk keep_docs. Filters beyond KEEP_BROADCAST_CAP ids
+        are routed off the broadcast kernel path automatically (the
+        size probe scans only until CAP+1 ids are seen); an attribute
+        that routinely selects that much of the corpus should instead
+        be an index partition column so the filter prunes whole shards.
         """
+        if doc_filter is not None and mode in ("bmw", "auto"):
+            probe = (doc_filter.select("doc_id")
+                     .limit(self.KEEP_BROADCAST_CAP + 1).count())
+            if probe > self.KEEP_BROADCAST_CAP:
+                mode = "exhaustive"
         if mode == "bmw":
             meta, termstats, blocks = self._handles()
             return bmw.bmw_topk(self.spark, queries, self.paths, k=k,
                                 meta=meta, termstats=termstats,
-                                blocks=blocks, keep_docs=doc_filter)
+                                blocks=blocks, keep_docs=doc_filter,
+                                tomb_bc=self._tomb_bc)
         if mode == "exhaustive":
             return self._exhaustive(queries, k, doc_filter=doc_filter)
         if mode == "auto":
@@ -148,7 +183,8 @@ class Engine:
             .unionByName(
                 bmw.bmw_topk(self.spark, sparse_q, self.paths, k=k,
                              meta=meta, termstats=termstats, blocks=blocks,
-                             keep_docs=doc_filter, qt=qt_sparse)
+                             keep_docs=doc_filter, qt=qt_sparse,
+                             tomb_bc=self._tomb_bc)
         )
 
     def _exhaustive(self, queries: DataFrame, k: int,

@@ -37,6 +37,30 @@ class Catalog:
     def _path(self, name: str) -> str:
         return f"{self.root}/{name}"
 
+    # -- scheme-agnostic filesystem ops (parquet mode) -----------------------
+    # All deletes/existence checks go through the Hadoop FileSystem API so
+    # hdfs:// and s3a:// index roots behave exactly like local paths: the
+    # append/compact commit protocols RELY on orphan cleanup actually
+    # deleting (a silent no-op would let a retried failed append
+    # double-index its generation). shutil/os.path would silently no-op on
+    # any non-POSIX scheme.
+
+    def _hadoop_fs(self, path_str: str):
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path_str)
+        fs = jpath.getFileSystem(
+            self.spark._jsc.hadoopConfiguration())
+        return fs, jpath
+
+    def _fs_delete(self, path_str: str) -> None:
+        fs, jpath = self._hadoop_fs(path_str)
+        if fs.exists(jpath) and not fs.delete(jpath, True):
+            raise IOError(f"failed to delete {path_str}")
+
+    def _fs_exists(self, path_str: str) -> bool:
+        fs, jpath = self._hadoop_fs(path_str)
+        return bool(fs.exists(jpath))
+
     def table(self, name: str, schema: str | None = None) -> DataFrame:
         """schema: optional DDL string — parquet dirs written from an
         EMPTY DataFrame have no footer to infer from (0-doc corpus,
@@ -53,9 +77,7 @@ class Catalog:
         if self.catalog_name:
             return self.spark.catalog.tableExists(
                 f"{self.catalog_name}.{name}")
-        import os
-
-        return os.path.exists(self._path(name))
+        return self._fs_exists(self._path(name))
 
     def writer(self, df: DataFrame, name: str, mode: str = "overwrite",
                partition_by: list[str] | None = None):
@@ -86,16 +108,11 @@ class Catalog:
                 f"WHERE {col} IN ({in_list})"
             )
         else:
-            import shutil
-
             for v in values:
-                shutil.rmtree(f"{self._path(name)}/{col}={v}",
-                              ignore_errors=True)
+                self._fs_delete(f"{self._path(name)}/{col}={v}")
 
     def drop_table(self, name: str) -> None:
         if self.catalog_name:
             self.spark.sql(f"DROP TABLE IF EXISTS {self.catalog_name}.{name}")
         else:
-            import shutil
-
-            shutil.rmtree(self._path(name), ignore_errors=True)
+            self._fs_delete(self._path(name))

@@ -1,11 +1,15 @@
-"""Index compaction: generations → single generation-0 layout.
+"""Index compaction: generations → one NEW merged generation.
 
 Invariants under test (spimi.compact_index docstring):
 * query results identical before/after compaction AND to a from-scratch
   full build (BM25 depends only on global stats, never shard membership);
-* generation resets to 0 → bmw switches back to exact max_tfsat bounds;
+* a full compact leaves exactly ONE visible generation → bmw switches
+  back to exact max_tfsat bounds (meta["generation"] == 0, the
+  fragmentation count);
 * n_docs/avgdl, termstats df totals, and the global sha256-xor lineage
-  are preserved; shard ids collapse back under n_shards.
+  are preserved; merged generations' partitions are retired (GC'd);
+* a tiered (partial) compact merges only the selected generations,
+  reduces the generation count, and preserves results exactly.
 """
 
 from __future__ import annotations
@@ -75,19 +79,27 @@ def test_compaction_preserves_results(spark, compacted):
 
 def test_compaction_resets_generation_and_shards(spark, compacted):
     meta = spimi.load_meta(spark, spimi.IndexPaths(BASE))
+    # generation is the fragmentation count (visible gens - 1): a full
+    # compact is back to a single generation → exact bound mode
     assert meta["generation"] == 0
     assert meta["n_docs"] == 500
+    gens = spimi.visible_generations(meta)
+    assert len(gens) == 1
+    n = int(meta["n_shards"])
+    lo, hi = gens[0] * n, (gens[0] + 1) * n
+    # merged generations' partitions are retired post-commit: the ONLY
+    # shard dirs left on disk are the new generation's range
     shard_ids = [
         r["shard_id"] for r in spark.read.parquet(f"{BASE}/blocks")
         .select("shard_id").distinct().collect()
     ]
-    assert shard_ids and all(0 <= s < meta["n_shards"] for s in shard_ids)
+    assert shard_ids and all(lo <= s < hi for s in shard_ids)
     # docstats re-sharded consistently with blocks
     ds_shards = [
         r["shard_id"] for r in spark.read.parquet(f"{BASE}/docstats")
         .select("shard_id").distinct().collect()
     ]
-    assert all(0 <= s < meta["n_shards"] for s in ds_shards)
+    assert all(lo <= s < hi for s in ds_shards)
     # staging dropped
     import os
 
@@ -122,3 +134,145 @@ def test_compaction_preserves_stats_and_lineage(spark, compacted):
     assert man.where(F.col("status") != "ok").count() == 0
     # per-shard block stats present (not NULL like append-generation rows)
     assert man.where(F.col("n_postings").isNull()).count() == 0
+
+
+# -- tiered (partial) compaction ---------------------------------------------
+
+TIER_BASE = "/tmp/test_tiered_compact_index"
+
+
+@pytest.fixture(scope="module")
+def tiered(spark):
+    """Build + two appends (3 generations), then merge ONLY the two
+    append generations — the bulk generation 0 must not be rewritten."""
+    pdf = synthetic_corpus_pdf(450)
+    shutil.rmtree(TIER_BASE, ignore_errors=True)
+    parts = [pdf.iloc[:250], pdf.iloc[250:350], pdf.iloc[350:]]
+    spimi.build_index(
+        spark, with_doc_id(spark.createDataFrame(parts[0])),
+        TIER_BASE, n_shards=4)
+    spimi.append_index(
+        spark, with_doc_id(spark.createDataFrame(parts[1])), TIER_BASE)
+    spimi.append_index(
+        spark, with_doc_id(spark.createDataFrame(parts[2])), TIER_BASE)
+
+    eng = Engine(spark, TIER_BASE)
+    q = spark.createDataFrame(
+        [(0, "common_util"), (1, "def return class"), (2, "rareterm_0")],
+        "query_id long, query string",
+    )
+    before = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in eng.search(q, k=10, mode="bmw").collect()
+    )
+    paths = spimi.IndexPaths(TIER_BASE)
+    meta0 = spimi.load_meta(spark, paths)
+    gens0 = spimi.visible_generations(meta0)
+    assert len(gens0) == 3
+    gen0_files = sorted(
+        __import__("os").listdir(f"{TIER_BASE}/blocks"))
+    spimi.compact_index(spark, TIER_BASE, generations=gens0[1:])
+    return q, before, gens0, gen0_files
+
+
+def test_tiered_compact_reduces_generations(spark, tiered):
+    _, _, gens0, _ = tiered
+    meta = spimi.load_meta(spark, spimi.IndexPaths(TIER_BASE))
+    gens = spimi.visible_generations(meta)
+    # gen 0 untouched; gens 1,2 replaced by one new id
+    assert meta["generation"] == 1
+    assert gens == [gens0[0], max(gens0) + 1]
+    assert meta["n_docs"] == 450
+    stats = spimi.index_stats(spark, spimi.IndexPaths(TIER_BASE))
+    assert stats["n_generations"] == 2
+
+
+def test_tiered_compact_leaves_gen0_partitions_untouched(spark, tiered):
+    """The bulk generation's partition dirs are byte-identical (tiered
+    merge IO is bounded by the merged generations, not the index)."""
+    import os
+
+    _, _, gens0, gen0_files_before = tiered
+    n = 4
+    now = sorted(os.listdir(f"{TIER_BASE}/blocks"))
+    gen0_dirs_before = [d for d in gen0_files_before
+                        if d.startswith("shard_id=")
+                        and int(d.split("=")[1]) < n]
+    gen0_dirs_now = [d for d in now if d.startswith("shard_id=")
+                     and int(d.split("=")[1]) < n]
+    assert gen0_dirs_before == gen0_dirs_now
+    # merged generations' shard dirs are gone (GC'd post-commit)
+    merged = {s for g in gens0[1:] for s in range(g * n, (g + 1) * n)}
+    assert not merged & {int(d.split("=")[1]) for d in now
+                         if d.startswith("shard_id=")}
+
+
+def test_tiered_compact_preserves_results(spark, tiered):
+    q, before, _, _ = tiered
+    eng = Engine(spark, TIER_BASE)
+    after = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in eng.search(q, k=10, mode="bmw").collect()
+    )
+    assert after == before
+
+
+def test_compact_rejects_unknown_generations(spark, tiered):
+    with pytest.raises(ValueError, match="not visible"):
+        spimi.compact_index(spark, TIER_BASE, generations=[99])
+    with pytest.raises(ValueError, match="empty"):
+        spimi.compact_index(spark, TIER_BASE, generations=[])
+
+
+# -- crash safety: compaction publishes atomically ---------------------------
+
+
+def test_compact_crash_before_commit_leaves_index_intact(spark,
+                                                         monkeypatch):
+    """Kill compaction right before the scalars commit: every prior
+    write must be invisible — queries answer from the OLD index
+    unchanged, and a retried full compact then succeeds."""
+    base = "/tmp/test_compact_crash"
+    pdf = synthetic_corpus_pdf(200)
+    shutil.rmtree(base, ignore_errors=True)
+    spimi.build_index(
+        spark, with_doc_id(spark.createDataFrame(pdf.iloc[:120])),
+        base, n_shards=4)
+    spimi.append_index(
+        spark, with_doc_id(spark.createDataFrame(pdf.iloc[120:])), base)
+    q = spark.createDataFrame(
+        [(0, "common_util"), (1, "def return class")],
+        "query_id long, query string")
+    eng = Engine(spark, base)
+    before = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in eng.search(q, k=10, mode="bmw").collect())
+
+    real = spimi._write_scalars
+
+    def _boom(*a, **kw):
+        raise RuntimeError("injected crash before commit")
+
+    monkeypatch.setattr(spimi, "_write_scalars", _boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        spimi.compact_index(spark, base)
+    monkeypatch.setattr(spimi, "_write_scalars", real)
+
+    # old index fully intact: same meta, same answers
+    meta = spimi.load_meta(spark, spimi.IndexPaths(base))
+    assert meta["generation"] == 1 and meta["n_docs"] == 200
+    eng2 = Engine(spark, base)
+    mid = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in eng2.search(q, k=10, mode="bmw").collect())
+    assert mid == before
+
+    # retry succeeds and still matches
+    spimi.compact_index(spark, base)
+    meta = spimi.load_meta(spark, spimi.IndexPaths(base))
+    assert meta["generation"] == 0 and meta["n_docs"] == 200
+    eng3 = Engine(spark, base)
+    after = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in eng3.search(q, k=10, mode="bmw").collect())
+    assert after == before

@@ -239,3 +239,48 @@ def test_two_stage_rank(spark, engine, tiny_corpus, tiny_queries):
                                 "rank"}
     assert (pdf["rank"] <= 5).all()
     assert pdf.groupby("query_id")["rank"].min().eq(1).all()
+
+
+def test_oversized_doc_filter_routes_off_broadcast(spark, engine,
+                                                   tiny_corpus,
+                                                   tiny_queries,
+                                                   monkeypatch):
+    """A doc_filter beyond KEEP_BROADCAST_CAP must NOT reach the BMW
+    broadcast keep-list (at 100 TB that array would OOM the driver) —
+    search() auto-routes it to the set-oriented exhaustive semi-join.
+    Results must be identical either way (rounded-score comparison,
+    CLAUDE.md cross-mode invariant)."""
+    keep = tiny_corpus.select("doc_id").where(
+        F.abs(F.col("doc_id")) % 2 == 0)
+    n_keep = keep.count()
+    assert n_keep > 5
+
+    calls = []
+    real = bmw.bmw_topk
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(bmw, "bmw_topk", spy)
+
+    # cap above the filter size → broadcast kernel path
+    monkeypatch.setattr(Engine, "KEEP_BROADCAST_CAP", n_keep + 1)
+    via_bmw = {
+        (r["query_id"], r["doc_id"], round(r["score"], 9))
+        for r in engine.search(tiny_queries, k=10, mode="bmw",
+                               doc_filter=keep).collect()
+    }
+    assert len(calls) == 1
+
+    # cap below the filter size → rerouted; bmw_topk never called
+    monkeypatch.setattr(Engine, "KEEP_BROADCAST_CAP", n_keep - 1)
+    via_exh = {
+        (r["query_id"], r["doc_id"], round(r["score"], 9))
+        for r in engine.search(tiny_queries, k=10, mode="bmw",
+                               doc_filter=keep).collect()
+    }
+    assert len(calls) == 1  # unchanged: broadcast path was skipped
+    assert via_exh == via_bmw
+    # and the filter actually applied
+    assert all(d % 2 == 0 for _, d, _ in via_exh)
