@@ -692,17 +692,17 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_vec_id"), "vec")
     return ann.lsh_cosine_topk(q, e, k=10, n_planes=4, dim=64,
-                               n_tables=8)
+                               n_tables=16)
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (rows-only: centroids from driver-side k-means)."""
     e = ann.with_double_vec(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
-    cents = ann.kmeans_centroids(e, n_centroids=8, dim=64)
+    cents = ann.kmeans_centroids(e, n_centroids=16, dim=64)
     q = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_vec_id"), "vec")
-    return ann.ivf_topk(q, e, cents, k=10, nprobe=3)
+    return ann.ivf_topk(q, e, cents, k=10, nprobe=8)
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -734,12 +734,12 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_vec_id"), "vec")
     exact = ann.cosine_topk(q, e, k=10).select("query_vec_id", "vec_id")
-    cents = ann.kmeans_centroids(e, n_centroids=8, dim=64)
+    cents = ann.kmeans_centroids(e, n_centroids=16, dim=64)
     approx = (
-        ann.lsh_cosine_topk(q, e, k=10, n_planes=4, dim=64, n_tables=8)
+        ann.lsh_cosine_topk(q, e, k=10, n_planes=4, dim=64, n_tables=16)
         .select(F.lit("lsh").alias("method"), "query_vec_id", "vec_id")
         .unionByName(
-            ann.ivf_topk(q, e, cents, k=10, nprobe=3)
+            ann.ivf_topk(q, e, cents, k=10, nprobe=8)
             .select(F.lit("ivf").alias("method"), "query_vec_id", "vec_id"))
     )
     n_exact = 5 * 10

@@ -9,8 +9,13 @@ step, unit-testable on synthetic tensors without model downloads:
 * ColBERT dynamic-length encoding      — reference models/colbert_ranker.py:150-156,
                                          310-324, 352-357
 * layerwise-LLM last-token extraction  — reference models/llm_layerwise_ranker.py:168-177
+* layerwise-LLM input assembly         — reference models/llm_layerwise_ranker.py:91-137
 * UPR query log-likelihood             — reference models/upr.py:153-169
 * MxBai v2 pos/neg logit difference    — reference models/mxbai_v2.py:355-356
+* MxBai v2 chat-template assembly      — reference models/mxbai_v2.py:186-320
+  (pre-tokenized segments, 3/4-query / 1/4-doc budgets, only-second pair
+  truncation, left multiple-of-8 padding)
+* PyLate score normalization           — reference models/pylate_ranker.py:63-68
 
 The torch-gated pandas-UDF factories in rerank/ranker.py wrap these; the
 heavy lifting (tokenize + forward pass) stays in the model library, the
@@ -193,3 +198,227 @@ def mxbai_v2_scores(
     position. last_position_logits: (batch, vocab)."""
     lg = np.asarray(last_position_logits, dtype=np.float64)
     return lg[:, pos_id] - lg[:, neg_id]
+
+
+# -- prompt / input-id assembly (tokenizer-injected pure functions) ----------
+#
+# The functions below are the PORTABLE halves of the LLM rankers' input
+# preparation: every decision is token-id list arithmetic, with the
+# tokenizer injected as ``tok(text, max_length=None) -> list[int]``
+# (no special tokens; truncate when max_length is given) — so the exact
+# reference layout (segment order, 3/4-1/4 budgets, only-second pair
+# truncation, multiple-of-8 padding) is unit-testable without a model.
+
+# MxBai v2 prompt contract (reference mxbai_v2.py:22-84 — the 'default'
+# entries; per-checkpoint entries are identical for both released models).
+# These strings ARE the checkpoint contract, kept verbatim.
+MXBAI_V2_TEMPLATES: dict[str, object] = {
+    "sep": "\n",
+    "instruction_prompt": "instruction: {instruction}",
+    "query_prompt": "query: {query}",
+    "doc_prompt": "document: {document}",
+    "task_prompt": (
+        "You are a search relevance expert who evaluates how well "
+        "documents match search queries. For each query-document pair, "
+        "carefully analyze the semantic relationship between them, then "
+        "provide your binary relevance judgment (0 for not relevant, 1 "
+        "for relevant).\nRelevance:"
+    ),
+    "chat_prefix": (
+        "<|im_start|>system\nYou are Qwen, created by Alibaba Cloud. You "
+        "are a helpful assistant.<|im_end|>\n<|im_start|>user\n"
+    ),
+    "chat_suffix": "<|im_end|>\n<|im_start|>assistant\n",
+    "pos_token": "1",
+    "neg_token": "0",
+}
+
+# Layerwise-LLM prompt/params contract (reference
+# llm_layerwise_ranker.py:10-26), verbatim.
+LAYERWISE_PROMPT = (
+    "Given a query A and a passage B, determine whether the passage "
+    "contains an answer to the query by providing a prediction of "
+    "either 'Yes' or 'No'."
+)
+LAYERWISE_DEFAULT_PARAMS: dict[str, dict] = {
+    "default": {},
+    "BAAI/bge-multilingual-gemma2": {},
+    "BAAI/bge-reranker-v2-gemma": {},
+    "BAAI/bge-reranker-v2-minicpm-layerwise": {"cutoff_layers": [28]},
+    "BAAI/bge-reranker-v2.5-gemma2-lightweight": {
+        "cutoff_layers": [28],
+        "compress_ratio": 2,
+        "compress_layer": [24, 40],
+    },
+}
+
+
+def ensure_multiple_of_8(x: int, max_value: int | None = None) -> int:
+    """Round DOWN to a multiple of 8, clamped to max_value first
+    (reference mxbai_v2.py:87-92 _ensure_multiple_of_8)."""
+    if max_value is not None:
+        max_value = max_value - max_value % 8
+        x = min(x, max_value)
+    return x - x % 8
+
+
+def pair_truncate_second(
+    first_ids: Sequence[int], second_ids: Sequence[int], max_length: int
+) -> List[int]:
+    """``tokenizer.prepare_for_model(first, second,
+    truncation='only_second', add_special_tokens=False)``: concatenate,
+    truncating ONLY the second segment (from its end) to fit
+    max_length. The first segment is never cut (both reference callers
+    pre-truncate it to the 3/4 budget)."""
+    first_ids = list(first_ids)
+    second_ids = list(second_ids)
+    overflow = len(first_ids) + len(second_ids) - max_length
+    if overflow > 0:
+        keep = max(0, len(second_ids) - overflow)
+        second_ids = second_ids[:keep]
+    return first_ids + second_ids
+
+
+def pad_token_batch(
+    seqs: Sequence[Sequence[int]],
+    pad_id: int,
+    padding_side: str = "left",
+    pad_to_multiple_of: int = 8,
+    max_length: int | None = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """``tokenizer.pad(padding='longest', pad_to_multiple_of=8)``:
+    (input_ids, attention_mask) int64 arrays padded to the longest
+    sequence rounded UP to a multiple of 8 (capped at max_length when
+    given — HF semantics: the multiple-of-8 round-up applies to the
+    longest length; max_length only caps when shorter would violate it).
+    padding_side: 'left' (MxBai v2, decoder scoring at the last
+    position) or 'right' (layerwise ranker)."""
+    if not seqs:
+        return (np.zeros((0, 0), dtype=np.int64),
+                np.zeros((0, 0), dtype=np.int64))
+    longest = max(len(s) for s in seqs)
+    target = longest
+    if pad_to_multiple_of and target % pad_to_multiple_of:
+        target = ((target // pad_to_multiple_of) + 1) * pad_to_multiple_of
+    if max_length is not None:
+        target = max(target, 0)
+    ids = np.full((len(seqs), target), pad_id, dtype=np.int64)
+    mask = np.zeros((len(seqs), target), dtype=np.int64)
+    for i, s in enumerate(seqs):
+        n = len(s)
+        if padding_side == "left":
+            ids[i, target - n:] = s
+            mask[i, target - n:] = 1
+        else:
+            ids[i, :n] = s
+            mask[i, :n] = 1
+    return ids, mask
+
+
+def mxbai_v2_static_ids(tok, templates: dict | None = None) -> dict:
+    """Pre-tokenized template segments + static length (reference
+    mxbai_v2.py:186-220 _prepare_tokenized_templates)."""
+    t = templates or MXBAI_V2_TEMPLATES
+    prefix = tok(t["chat_prefix"], None)
+    suffix = tok(t["chat_suffix"], None)
+    task = tok(t["task_prompt"], None)
+    sep = tok(t["sep"], None)
+    return {
+        "prefix_ids": prefix,
+        "suffix_ids": suffix,
+        "task_prompt_ids": task,
+        "sep_ids": sep,
+        "pos_id": tok(t["pos_token"], None)[0],
+        "neg_id": tok(t["neg_token"], None)[0],
+        "static_len": len(prefix) + len(task) + len(suffix) + len(sep),
+    }
+
+
+def mxbai_v2_effective_lengths(
+    max_length: int, static_len: int, model_max_length: int
+) -> Tuple[int, int]:
+    """(effective_max_length, padding_length): max_length shrunk so the
+    static template always fits the context window; padding_length is
+    the model window rounded down to a multiple of 8 (reference
+    mxbai_v2.py:211-220)."""
+    eff = max_length
+    if eff + static_len > model_max_length:
+        eff = model_max_length - static_len
+    padding_length = ensure_multiple_of_8(
+        max(model_max_length, eff + static_len), max_value=model_max_length)
+    return eff, padding_length
+
+
+def mxbai_v2_prepare_ids(
+    tok,
+    query: str,
+    document: str,
+    instruction: str | None = None,
+    max_length: int = 8192,
+    model_max_length: int = 32768,
+    templates: dict | None = None,
+    static: dict | None = None,
+) -> List[int]:
+    """Full reference input assembly for ONE (query, document) pair
+    (mxbai_v2.py:239-320 _prepare_batch + _create_full_input_ids):
+
+    1. query text = query_prompt (+ optional instruction prefix),
+       tokenized under a 3/4 budget of the effective max_length;
+    2. doc budget = min(window - query - static, max_length // 4);
+    3. pair-combined with only-second truncation at max_length;
+    4. wrapped prefix + content + sep + task + suffix.
+
+    Returns the unpadded id list; batch padding is pad_token_batch
+    (padding_side='left', multiple of 8, capped at the model window).
+    """
+    t = templates or MXBAI_V2_TEMPLATES
+    s = static or mxbai_v2_static_ids(tok, t)
+    eff, _ = mxbai_v2_effective_lengths(
+        max_length, s["static_len"], model_max_length)
+
+    query_text = str(t["query_prompt"]).format(query=query)
+    if instruction:
+        query_text = (str(t["instruction_prompt"]).format(
+            instruction=instruction) + str(t["sep"]) + query_text)
+    query_ids = tok(query_text, eff * 3 // 4)
+
+    available = model_max_length - len(query_ids) - s["static_len"]
+    doc_budget = min(available, eff // 4)
+    doc_ids = tok(str(t["doc_prompt"]).format(document=document),
+                  doc_budget)
+
+    content = pair_truncate_second(
+        query_ids, list(s["sep_ids"]) + list(doc_ids), eff)
+    return (list(s["prefix_ids"]) + content + list(s["sep_ids"])
+            + list(s["task_prompt_ids"]) + list(s["suffix_ids"]))
+
+
+def layerwise_prepare_ids(
+    tok,
+    query: str,
+    passage: str,
+    bos_id: int,
+    max_sequence_length: int = 512,
+    prompt: str = LAYERWISE_PROMPT,
+) -> List[int]:
+    """Layerwise-LLM input assembly for ONE pair (reference
+    llm_layerwise_ranker.py:91-137 _get_inputs): 'A: {query}' under a
+    3/4 budget with a leading BOS, '\\n' separator, 'B: {passage}'
+    with only-second truncation at max_sequence_length, then the
+    trailing '\\n' + prompt. Batch padding: pad_token_batch
+    (padding_side='right', multiple of 8, max_length =
+    max_sequence_length + len(sep) + len(prompt))."""
+    prompt_ids = tok(prompt, None)
+    sep_ids = tok("\n", None)
+    q_ids = tok(f"A: {query}", max_sequence_length * 3 // 4)
+    p_ids = tok(f"B: {passage}", max_sequence_length)
+    item = pair_truncate_second(
+        [bos_id] + list(q_ids), list(sep_ids) + list(p_ids),
+        max_sequence_length)
+    return item + list(sep_ids) + list(prompt_ids)
+
+
+def pylate_normalize(scores, query_token_count: int) -> np.ndarray:
+    """PyLate score normalization (reference pylate_ranker.py:63-68):
+    rank.rerank's raw MaxSim sums divided by the query token count."""
+    return np.asarray(scores, dtype=np.float64) / float(query_token_count)

@@ -263,21 +263,59 @@ def _colbert_scorer(model_name: Optional[str] = None):
 @register_scorer("llm-layerwise")
 def _llm_layerwise_scorer(model_name: Optional[str] = None):
     """Layerwise-LLM scorer (reference models/llm_layerwise_ranker.py:
-    118-183): prompt 'Predict whether passage B contains an answer to
-    query A', cutoff-layer head scores, last token of the last layer
+    28-183): 'A: {query}' / 'B: {passage}' assembly with the 3/4 query
+    budget + only-second truncation (model_math.layerwise_prepare_ids,
+    exact port of _get_inputs), right-side multiple-of-8 padding,
+    cutoff-layer params from the reference DEFAULT_PARAMS table, score
+    = last token of the last requested layer
     (model_math.layerwise_scores)."""
     try:
         import torch  # noqa: F401
-        from transformers import AutoModelForCausalLM, AutoTokenizer  # noqa: F401
+        from transformers import AutoModelForCausalLM, AutoTokenizer
     except ImportError as e:  # pragma: no cover
         raise ImportError(
             "llm-layerwise scorer needs torch+transformers; use scorer="
             "'stub'/'overlap' in environments without them"
         ) from e
-    raise NotImplementedError(  # pragma: no cover
-        "llm-layerwise needs the BAAI gemma2-lightweight trust-remote-code "
-        "head; score extraction is model_math.layerwise_scores"
-    )
+
+    from rerankers_spark.rerank import model_math as mm
+
+    model_name = model_name or "BAAI/bge-reranker-v2.5-gemma2-lightweight"
+    tok = AutoTokenizer.from_pretrained(model_name,
+                                        trust_remote_code=True)
+    model = AutoModelForCausalLM.from_pretrained(model_name,
+                                                 trust_remote_code=True)
+    model.eval()
+    params = mm.LAYERWISE_DEFAULT_PARAMS.get(
+        model_name, mm.LAYERWISE_DEFAULT_PARAMS["default"])
+    max_seq = 512
+
+    def _tok(s, ml=None):
+        return tok(s, add_special_tokens=False, truncation=ml is not None,
+                   max_length=ml)["input_ids"]
+
+    def score(query: pd.Series, text: pd.Series) -> pd.Series:  # pragma: no cover
+        import torch
+
+        seqs = [
+            mm.layerwise_prepare_ids(_tok, q, t, tok.bos_token_id,
+                                     max_sequence_length=max_seq)
+            for q, t in zip(query, text)
+        ]
+        sep_n = len(_tok("\n"))
+        prompt_n = len(_tok(mm.LAYERWISE_PROMPT))
+        ids, mask = mm.pad_token_batch(
+            seqs, tok.pad_token_id, padding_side="right",
+            pad_to_multiple_of=8, max_length=max_seq + sep_n + prompt_n)
+        with torch.inference_mode():
+            outputs = model(
+                input_ids=torch.from_numpy(ids),
+                attention_mask=torch.from_numpy(mask),
+                return_dict=True, **params)
+            per_layer = [s.float().cpu().numpy() for s in outputs[0]]
+        return pd.Series(mm.layerwise_scores(per_layer), dtype="float64")
+
+    return score
 
 
 @register_scorer("upr")
@@ -327,16 +365,21 @@ def _upr_scorer(model_name: Optional[str] = None):
 
 @register_scorer("mxbaiv2")
 def _mxbai_v2_scorer(model_name: Optional[str] = None):
-    """MxBai rerank v2 scorer: score = pos-token logit minus neg-token
-    logit at the final position (model_math.mxbai_v2_scores, reference
-    mxbai_v2.py:355-356). Prompt assembly here is a SIMPLIFIED
-    query/document template — the reference's full chat template with
-    3/4-query 1/4-doc token budgets (mxbai_v2.py:239-320) is checkpoint-
-    specific and belongs with a real tokenizer; plug it in by replacing
-    the prompt builder below."""
+    """MxBai rerank v2 scorer at FULL reference prompt parity: the
+    pre-tokenized Qwen chat-template segments, the query ≤3/4 and doc
+    ≤1/4 token budgets, only-second pair truncation, and left-side
+    multiple-of-8 padding are all model_math.mxbai_v2_prepare_ids /
+    pad_token_batch (exact ports of reference mxbai_v2.py:186-320,
+    offline-tested); score = pos-token logit minus neg-token logit at
+    the final position (model_math.mxbai_v2_scores, mxbai_v2.py:355-356).
+    """
     try:
         import torch  # noqa: F401
-        from transformers import AutoModelForCausalLM, AutoTokenizer
+        from transformers import (  # noqa: F401
+            AutoConfig,
+            AutoModelForCausalLM,
+            AutoTokenizer,
+        )
     except ImportError as e:  # pragma: no cover
         raise ImportError(
             "mxbaiv2 scorer needs torch+transformers; use scorer='stub'/"
@@ -346,25 +389,43 @@ def _mxbai_v2_scorer(model_name: Optional[str] = None):
     from rerankers_spark.rerank import model_math as mm
 
     model_name = model_name or "mixedbread-ai/mxbai-rerank-base-v2"
+    cfg = AutoConfig.from_pretrained(model_name)
     tok = AutoTokenizer.from_pretrained(model_name)
+    tok.padding_side = "left"
     model = AutoModelForCausalLM.from_pretrained(model_name)
     model.eval()
-    pos_id = tok.convert_tokens_to_ids("1")
-    neg_id = tok.convert_tokens_to_ids("0")
+    max_length = 8192
+    model_max_length = int(cfg.max_position_embeddings)
+
+    def _tok(s, ml=None):
+        return tok(s, add_special_tokens=False, truncation=ml is not None,
+                   max_length=ml)["input_ids"]
+
+    static = mm.mxbai_v2_static_ids(_tok)
+    _, padding_length = mm.mxbai_v2_effective_lengths(
+        max_length, static["static_len"], model_max_length)
 
     def score(query: pd.Series, text: pd.Series) -> pd.Series:  # pragma: no cover
         import torch
 
-        prompts = [
-            f"query: {q}\ndocument: {t}\nRelevant (0/1):"
+        seqs = [
+            mm.mxbai_v2_prepare_ids(
+                _tok, q, t, max_length=max_length,
+                model_max_length=model_max_length, static=static)
             for q, t in zip(query, text)
         ]
+        ids, mask = mm.pad_token_batch(
+            seqs, tok.pad_token_id, padding_side="left",
+            pad_to_multiple_of=8, max_length=padding_length)
         with torch.inference_mode():
-            enc = tok(prompts, padding=True, truncation=True,
-                      max_length=8192, return_tensors="pt")
-            logits = model(**enc).logits[:, -1, :].float().cpu().numpy()
-        return pd.Series(mm.mxbai_v2_scores(logits, pos_id, neg_id),
-                         dtype="float64")
+            logits = model(
+                input_ids=torch.from_numpy(ids),
+                attention_mask=torch.from_numpy(mask),
+            ).logits[:, -1, :].float().cpu().numpy()
+        return pd.Series(
+            mm.mxbai_v2_scores(logits, static["pos_id"],
+                               static["neg_id"]),
+            dtype="float64")
 
     return score
 
@@ -372,15 +433,47 @@ def _mxbai_v2_scorer(model_name: Optional[str] = None):
 @register_scorer("pylate")
 def _pylate_scorer(model_name: Optional[str] = None):
     """PyLate multi-vector scorer family (reference models/
-    pylate_ranker.py): gated on the pylate package."""
+    pylate_ranker.py:12-71): pylate's ColBERT encoder + rank.rerank,
+    scores normalized by the query token count
+    (model_math.pylate_normalize). Gated on the pylate package; the
+    normalization + result mapping is the offline-tested part."""
     try:
-        from pylate import models, rank  # noqa: F401
+        from pylate import models, rank
     except ImportError as e:  # pragma: no cover
         raise ImportError(
             "pylate scorer needs the pylate package; use scorer='colbert' "
             "(same late-interaction math) or 'stub'/'overlap'"
         ) from e
-    raise NotImplementedError  # pragma: no cover
+
+    from rerankers_spark.rerank import model_math as mm
+
+    model = models.ColBERT(  # pragma: no cover
+        model_name_or_path=model_name or
+        "lightonai/GTE-ModernColBERT-v1")
+
+    def score(query: pd.Series, text: pd.Series) -> pd.Series:  # pragma: no cover
+        import numpy as np
+
+        out = np.zeros(len(query), dtype=np.float64)
+        # one encode per distinct query in the batch (reference ranks
+        # per query; the batch UDF sees mixed queries)
+        for q in query.unique():
+            sel = (query == q).to_numpy().nonzero()[0]
+            docs = [str(t) for t in text.iloc[sel]]
+            doc_embs = model.encode([docs], is_query=False)
+            q_embs = model.encode([str(q)], is_query=True)
+            ranked = rank.rerank(
+                documents_ids=[list(range(len(docs)))],
+                queries_embeddings=q_embs,
+                documents_embeddings=doc_embs,
+            )
+            raw = np.empty(len(docs), dtype=np.float64)
+            for entry in ranked[0]:
+                raw[int(entry["id"])] = float(entry["score"])
+            out[sel] = mm.pylate_normalize(raw, len(q_embs[0]))
+        return pd.Series(out, dtype="float64")
+
+    return score
 
 
 @register_scorer("monovlm")

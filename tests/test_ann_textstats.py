@@ -164,3 +164,63 @@ def test_fingerprint_normalizes(spark):
     )
     fps = {r["doc_id"]: r["fp"] for r in textstats.fingerprint(d).collect()}
     assert fps[1] == fps[2] == fps[3]
+
+
+# -- enforced recall gates (contract parameters) ------------------------------
+#
+# ann_recall MEASURES approximation quality per round; these tests ENFORCE
+# it: a parameter regression (fewer tables, fewer probes) that collapses
+# recall now fails the suite instead of silently degrading the rows-only
+# contract entries.
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def driver_embeddings(spark):
+    e = ann.with_double_vec(spark.read.parquet(f"{SF_DIR}/embeddings.parquet"))
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_vec_id"), "vec")
+    exact = {
+        (r["query_vec_id"], r["vec_id"])
+        for r in ann.cosine_topk(q, e, k=10).collect()
+    }
+    assert len(exact) == 50
+    return e, q, exact
+
+
+def _recall(approx_rows, exact_pairs) -> float:
+    hits = sum((r["query_vec_id"], r["vec_id"]) in exact_pairs
+               for r in approx_rows)
+    return hits / len(exact_pairs)
+
+
+def test_lsh_recall_gate_contract_params(spark, driver_embeddings):
+    """recall@10 ≥ 0.8 at the ann_recall contract parameters
+    (n_planes=4, n_tables=16) — the gate the rows-only lsh_ann_topk
+    entry rides on."""
+    e, q, exact = driver_embeddings
+    got = ann.lsh_cosine_topk(q, e, k=10, n_planes=4, dim=64,
+                              n_tables=16).collect()
+    assert _recall(got, exact) >= 0.8
+
+
+def test_ivf_recall_gate_contract_params(spark, driver_embeddings):
+    """recall@10 ≥ 0.8 at the ann_recall contract parameters
+    (16 centroids, nprobe=8 — half the cells probed)."""
+    e, q, exact = driver_embeddings
+    cents = ann.kmeans_centroids(e, n_centroids=16, dim=64)
+    got = ann.ivf_topk(q, e, cents, k=10, nprobe=8).collect()
+    assert _recall(got, exact) >= 0.8
+
+
+def test_lsh_recall_gate_is_sensitive(spark, driver_embeddings):
+    """The gate actually bites: collapsing the multi-table union to ONE
+    table (the round-1 docstring-vs-impl bug shape) must lose recall
+    relative to the 8-table contract setting."""
+    e, q, exact = driver_embeddings
+    one = _recall(ann.lsh_cosine_topk(q, e, k=10, n_planes=4, dim=64,
+                                      n_tables=1).collect(), exact)
+    full = _recall(ann.lsh_cosine_topk(q, e, k=10, n_planes=4, dim=64,
+                                       n_tables=16).collect(), exact)
+    assert one < full
