@@ -126,6 +126,7 @@ def run(sf_dir: str, cpus: int, index_root: str = "/tmp/bench_index"):
         "timings": timings,
         "docs_per_sec_index_build": n_docs / timings["q_index_build"],
         "queries_per_sec_bmw": n_queries / timings["q_bmw_queryset50"],
+        "queries_per_sec_two_stage": n_queries / timings["q_two_stage"],
         "bmw_rows": n_bmw,
         "n_queries": n_queries,
         "cpus": cpus,
@@ -151,6 +152,9 @@ def main() -> None:
         "n_docs": r["n_docs"],
         "docs_per_sec_index_build": round(r["docs_per_sec_index_build"], 1),
         "queries_per_sec_bmw": round(r["queries_per_sec_bmw"], 1),
+        "queries_per_sec_two_stage": round(r["queries_per_sec_two_stage"],
+                                           1),
+        "n_queries": r["n_queries"],
         "cpus": cpus,
         "index_compression_ratio": r["index_compression_ratio"],
     }))

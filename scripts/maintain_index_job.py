@@ -7,14 +7,20 @@ streaming/batch appends → THIS → queries):
   spark-submit --py-files rerankers_spark.zip scripts/maintain_index_job.py \
       --index /data/index --delete-ids /data/deletes_parquet
 
-  # merge generations + physically purge tombstones + recompute stats
+  # FULL compact: merge all generations + purge tombstones + recompute stats
   spark-submit --py-files rerankers_spark.zip scripts/maintain_index_job.py \
       --index /data/index --compact
 
+  # TIERED compact: merge only the append generations, leave the bulk
+  # generation untouched (bounded-IO maintenance; --tiered keeps the
+  # LARGEST generation out of the merge automatically)
+  spark-submit ... --index /data/index --compact --tiered
+  spark-submit ... --index /data/index --compact --generations 3,4,5
+
 Both flags together = delete then compact in one submission. Deletes are
-visible to queries immediately (with pre-delete global stats); compaction
-is the durable purge — schedule it on tombstone volume or generation
-count (spimi.compact_index docstring).
+visible to queries immediately (with pre-delete global stats); a FULL
+compaction is the durable purge — schedule it on tombstone volume, tiered
+compactions on generation count (spimi.compact_index docstring).
 """
 
 from __future__ import annotations
@@ -42,9 +48,18 @@ def main() -> None:
     ap.add_argument("--delete-ids",
                     help="parquet path with a doc_id column to tombstone")
     ap.add_argument("--compact", action="store_true")
+    ap.add_argument("--generations",
+                    help="comma-separated generation ids to merge "
+                         "(tiered compact); default: all (full compact)")
+    ap.add_argument("--tiered", action="store_true",
+                    help="merge every generation EXCEPT the largest "
+                         "(by manifest doc count) — the bounded-IO "
+                         "maintenance shape")
     args = ap.parse_args()
     if not args.delete_ids and not args.compact:
         ap.error("nothing to do: pass --delete-ids and/or --compact")
+    if args.generations and args.tiered:
+        ap.error("--generations and --tiered are mutually exclusive")
 
     spark = SparkSession.builder.appName(
         "rerankers-spark-maintain").getOrCreate()
@@ -56,12 +71,37 @@ def main() -> None:
         print(f"tombstoned {n} doc ids in {args.index}")
 
     if args.compact:
-        t0 = time.time()
-        compact_index(spark, args.index)
-        meta = load_meta(spark, IndexPaths(args.index))
-        print(f"compacted {args.index} in {time.time() - t0:.1f}s: "
-              f"n_docs={meta['n_docs']} generation={meta['generation']} "
-              f"n_shards={meta['n_shards']}")
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from rerankers_spark.index.spimi import visible_generations
+
+        gens = None
+        if args.generations:
+            gens = [int(g) for g in args.generations.split(",")]
+        elif args.tiered:
+            paths = IndexPaths(args.index)
+            meta = load_meta(spark, paths)
+            vis = visible_generations(meta)
+            if len(vis) < 3:
+                print("tiered compact skipped: fewer than 3 generations")
+                gens = []
+            else:
+                sizes = {g: 0 for g in vis}
+                for r in (paths.read(spark, "manifest")
+                          .where(F.col("gen").isin(vis))
+                          .groupBy("gen").agg(
+                              F.sum("n_docs").alias("nd")).collect()):
+                    sizes[int(r["gen"])] = int(r["nd"] or 0)
+                largest = max(vis, key=lambda g: sizes[g])
+                gens = [g for g in vis if g != largest]
+        if gens != []:
+            t0 = time.time()
+            compact_index(spark, args.index, generations=gens)
+            meta = load_meta(spark, IndexPaths(args.index))
+            print(f"compacted {args.index} in {time.time() - t0:.1f}s: "
+                  f"n_docs={meta['n_docs']} "
+                  f"generations={visible_generations(meta)} "
+                  f"n_shards={meta['n_shards']}")
 
 
 if __name__ == "__main__":

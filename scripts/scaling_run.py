@@ -74,6 +74,9 @@ def main() -> None:
 
     idx = eff("docs_per_sec_index_build")
     qry = eff("queries_per_sec_bmw")
+    two = (eff("queries_per_sec_two_stage")
+           if "queries_per_sec_two_stage" in r_lo else None)
+    nq = r_lo.get("n_queries", 50)
     lines = [
         f"# BENCH_SCALING — N vs 4N parallelism (local[{lo}] vs "
         f"local[{hi}], sf_dir={sf_dir})",
@@ -84,6 +87,10 @@ def main() -> None:
         f"{idx[2]:.3f} |",
         f"| BMW query throughput (q/sec) | {qry[0]:.1f} | {qry[1]:.1f} | "
         f"{qry[2]:.3f} |",
+    ] + ([
+        f"| two-stage rank throughput @{nq}q (q/sec) | {two[0]:.1f} | "
+        f"{two[1]:.1f} | {two[2]:.3f} |",
+    ] if two else []) + [
         "",
         f"raw local[{lo}]: `{json.dumps(r_lo)}`",
         f"raw local[{hi}]: `{json.dumps(r_hi)}`",
