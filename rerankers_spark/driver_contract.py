@@ -468,6 +468,37 @@ def q_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk(rounded, 10).select("query_id", "doc_id", "rank", "score")
 
 
+def q_bm25_topk_filtered_bucketed(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The SAME filtered search through keep_mode='bucketed': the keep
+    ids travel the (shard, bucket) cogroup shuffle as data rows instead
+    of a driver-collected broadcast array (the 100-TB shape for large
+    filters — Engine.search auto-routes past KEEP_BROADCAST_CAP). Must
+    hash-match the same DuckDB oracle as the broadcast path."""
+    import os
+
+    from rerankers_spark.index.spimi import IndexPaths, build_index
+    from rerankers_spark.query import bmw as bmw_mod
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    idx = f"/tmp/contract_index_filt_{tag}"
+    # reuse the index q_bm25_topk_filtered built for this sf_dir (the
+    # registry runs entries in dict order); build only if absent
+    paths = IndexPaths(idx)
+    if not paths.exists(spark, "scalars"):
+        corpus = documents_as_corpus(spark, sf_dir)
+        paths = build_index(spark, corpus, idx, n_shards=8)
+    keep = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where(F.col("lang") == "en")
+            .select(F.col("doc_id").cast("long").alias("doc_id")))
+    raw = bmw_mod.bmw_topk(spark, _queries_df(spark), paths, k=50,
+                           keep_docs=keep, keep_mode="bucketed")
+    rounded = raw.select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
+    )
+    return topk(rounded, 10).select("query_id", "doc_id", "rank", "score")
+
+
 # -- dedup / similarity / text-analysis entries -------------------------------
 
 _SQL_SHINGLES = f"""
@@ -1169,6 +1200,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "bm25_topk_bmw": (q_bm25_topk_bmw, _SQL_BM25_TOPK),
     "bm25_topk_compacted": (q_bm25_topk_compacted, _SQL_BM25_TOPK),
     "bm25_topk_filtered": (q_bm25_topk_filtered, _SQL_BM25_TOPK_FILTERED),
+    "bm25_topk_filtered_bucketed": (q_bm25_topk_filtered_bucketed,
+                                    _SQL_BM25_TOPK_FILTERED),
     "bm25_topk_deleted": (q_bm25_topk_deleted,
                           _sql_bm25_topk_lifecycle(purged=False)),
     "bm25_topk_delete_compacted": (q_bm25_topk_delete_compacted,

@@ -434,6 +434,7 @@ def bmw_topk(
     keep_docs: DataFrame | None = None,
     qt: DataFrame | None = None,
     tomb_bc="load",
+    keep_mode: str = "broadcast",
 ) -> DataFrame:
     """(query_id, doc_id, score, rank): exact BM25 top-k via BMW.
 
@@ -456,10 +457,22 @@ def bmw_topk(
     (e.g. ``docs.where(lang='python').select('doc_id')``). Results are
     restricted to the set, scores keep full-corpus stats (the standard
     filtered-search semantics: a filter narrows candidates, it does not
-    re-weight idf). Shipped like tombstones (sorted broadcast array) —
-    fine for id-list filters up to ~10M docs; at 100 TB a
-    high-selectivity attribute should instead become an index partition
-    column so the filter prunes whole shards.
+    re-weight idf).
+
+    keep_mode selects how the keep set reaches the kernels:
+
+    * 'broadcast' — driver-collected sorted array, one broadcast (like
+      tombstones); right for filters up to ~10M ids (~80 MB).
+    * 'bucketed' — keep ids are SHARDED like the index (each id maps to
+      its candidate shard in every visible generation) and flow through
+      the same (shard, bucket) cogroup shuffle as marker rows on the
+      query side — fully distributed: no driver materialization, no
+      broadcast, each task sees only its own shard's keep ids (|keep| ×
+      |gens| × B shuffle rows). This keeps arbitrarily large filters on
+      the WAND skip path; Engine.search auto-routes past
+      KEEP_BROADCAST_CAP. (At 100 TB a high-selectivity attribute is
+      still better as an index partition column — that prunes whole
+      shards instead of filtering inside them.)
 
     qt: optional precomputed ``query_terms_with_idf`` table for these
     queries (the auto router computes it once for routing and passes it
@@ -484,8 +497,11 @@ def bmw_topk(
         tomb = load_tombstones(spark, paths)
         tomb_bc = (spark.sparkContext.broadcast(tomb)
                    if tomb is not None else None)
+    if keep_mode not in ("broadcast", "bucketed"):
+        raise ValueError(f"unknown keep_mode {keep_mode!r}")
+    bucketed_keep = keep_docs is not None and keep_mode == "bucketed"
     keep_bc = None
-    if keep_docs is not None:
+    if keep_docs is not None and keep_mode == "broadcast":
         keep_arr = np.array(
             [r["doc_id"] for r in keep_docs.select("doc_id")
              .distinct().collect()], dtype=np.int64)
@@ -551,7 +567,52 @@ def bmw_topk(
                        _bucket_col().alias("bucket")) \
         .crossJoin(F.broadcast(shards))
 
+    if bucketed_keep:
+        # keep ids flow through the SAME (shard, bucket) cogroup shuffle
+        # as marker rows on the query side: each id maps to its candidate
+        # shard in every visible generation, replicated per bucket. Fully
+        # distributed — no driver array, no broadcast. The id rides in
+        # the NON-NULL query_id column with term=NULL as the marker: a
+        # nullable int64 column would decay to float64 through Arrow →
+        # pandas and mangle full-range xxhash64 doc ids (CLAUDE.md
+        # invariant); query_id stays int64 because every row sets it.
+        from rerankers_spark.index.spimi import visible_generations
+
+        n_sh = int(meta.get("n_shards", 32))
+        base = keep_docs.select(
+            F.col("doc_id").cast("long").alias("keep_doc")).distinct()
+        keep_sharded = None
+        for g in visible_generations(meta):
+            part = base.select(
+                (F.pmod(F.xxhash64("keep_doc"), F.lit(n_sh))
+                 + F.lit(g * n_sh)).cast("int").alias("shard_id"),
+                "keep_doc")
+            keep_sharded = part if keep_sharded is None \
+                else keep_sharded.unionByName(part)
+        buckets = spark.createDataFrame(
+            [(b,) for b in range(n_buckets)], "bucket int")
+        keep_rows = keep_sharded.crossJoin(F.broadcast(buckets)).select(
+            F.col("keep_doc").alias("query_id"),
+            F.lit(None).cast("string").alias("term"),
+            F.lit(None).cast("double").alias("idf"),
+            "bucket", "shard_id",
+        )
+        q_side = q_side.unionByName(keep_rows)
+
     def _run(bpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        keep_local = keep_bc.value if keep_bc is not None else None
+        if bucketed_keep:
+            # marker rows (term NULL) → this task's keep array. An ACTIVE
+            # bucketed filter with no marker rows in the group means no
+            # eligible docs in this shard — empty array (excludes all),
+            # not None.
+            if len(qpdf):
+                km = qpdf["term"].isna()
+                keep_local = np.sort(
+                    qpdf.loc[km, "query_id"].to_numpy(dtype=np.int64))
+                qpdf = qpdf[~km]
+            else:
+                keep_local = np.array([], dtype=np.int64)
         if len(bpdf) == 0 or len(qpdf) == 0:
             return pd.DataFrame({
                 "query_id": np.array([], dtype=np.int64),
@@ -566,8 +627,7 @@ def bmw_topk(
                                n_docs_shard=n_docs / n_shards_total,
                                deleted=(tomb_bc.value if tomb_bc is not None
                                         else None),
-                               keep=(keep_bc.value if keep_bc is not None
-                                     else None))
+                               keep=keep_local)
 
     local = blocks_b.groupby("shard_id", "bucket").cogroup(
         q_side.groupby("shard_id", "bucket")

@@ -112,8 +112,10 @@ class Engine:
     #: as a sorted broadcast array (~80 MB at the cap); a larger filter
     #: (a low-selectivity predicate over a 100-TB corpus can select
     #: billions of ids) would OOM the driver building the array, so
-    #: search() auto-routes it to the exhaustive path, where the filter
-    #:  is a set-oriented semi-join with no driver materialization.
+    #: search() auto-routes it to keep_mode='bucketed': the ids are
+    #: sharded like the index and flow through the (shard, bucket)
+    #: cogroup shuffle as data rows — no driver materialization, no
+    #: broadcast, and the query stays on the WAND skip path.
     KEEP_BROADCAST_CAP = 10_000_000
 
     def search(self, queries: DataFrame, k: int = 10,
@@ -134,29 +136,34 @@ class Engine:
         'python').select('doc_id')``) with full-corpus stats — see
         bmw.bmw_topk keep_docs. Filters beyond KEEP_BROADCAST_CAP ids
         are routed off the broadcast kernel path automatically (the
-        size probe scans only until CAP+1 ids are seen); an attribute
-        that routinely selects that much of the corpus should instead
-        be an index partition column so the filter prunes whole shards.
+        size probe scans only until CAP+1 ids are seen) onto the
+        bucketed cogroup keep path; an attribute that routinely selects
+        that much of the corpus should instead be an index partition
+        column so the filter prunes whole shards.
         """
+        keep_mode = "broadcast"
         if doc_filter is not None and mode in ("bmw", "auto"):
             probe = (doc_filter.select("doc_id")
                      .limit(self.KEEP_BROADCAST_CAP + 1).count())
             if probe > self.KEEP_BROADCAST_CAP:
-                mode = "exhaustive"
+                keep_mode = "bucketed"
         if mode == "bmw":
             meta, termstats, blocks = self._handles()
             return bmw.bmw_topk(self.spark, queries, self.paths, k=k,
                                 meta=meta, termstats=termstats,
                                 blocks=blocks, keep_docs=doc_filter,
-                                tomb_bc=self._tomb_bc)
+                                tomb_bc=self._tomb_bc,
+                                keep_mode=keep_mode)
         if mode == "exhaustive":
             return self._exhaustive(queries, k, doc_filter=doc_filter)
         if mode == "auto":
-            return self._auto(queries, k, doc_filter=doc_filter)
+            return self._auto(queries, k, doc_filter=doc_filter,
+                              keep_mode=keep_mode)
         raise ValueError(f"unknown mode {mode!r}")
 
     def _auto(self, queries: DataFrame, k: int,
-              doc_filter: Optional[DataFrame] = None) -> DataFrame:
+              doc_filter: Optional[DataFrame] = None,
+              keep_mode: str = "broadcast") -> DataFrame:
         """Route each query dense/sparse with a tag column — fully
         set-oriented (no driver collect; the routing table stays a
         DataFrame however large the query log is)."""
@@ -184,7 +191,7 @@ class Engine:
                 bmw.bmw_topk(self.spark, sparse_q, self.paths, k=k,
                              meta=meta, termstats=termstats, blocks=blocks,
                              keep_docs=doc_filter, qt=qt_sparse,
-                             tomb_bc=self._tomb_bc)
+                             tomb_bc=self._tomb_bc, keep_mode=keep_mode)
         )
 
     def _exhaustive(self, queries: DataFrame, k: int,

@@ -241,46 +241,69 @@ def test_two_stage_rank(spark, engine, tiny_corpus, tiny_queries):
     assert pdf.groupby("query_id")["rank"].min().eq(1).all()
 
 
-def test_oversized_doc_filter_routes_off_broadcast(spark, engine,
-                                                   tiny_corpus,
-                                                   tiny_queries,
-                                                   monkeypatch):
-    """A doc_filter beyond KEEP_BROADCAST_CAP must NOT reach the BMW
-    broadcast keep-list (at 100 TB that array would OOM the driver) —
-    search() auto-routes it to the set-oriented exhaustive semi-join.
-    Results must be identical either way (rounded-score comparison,
+def test_oversized_doc_filter_routes_to_bucketed_keep(spark, engine,
+                                                      tiny_corpus,
+                                                      tiny_queries,
+                                                      monkeypatch):
+    """A doc_filter beyond KEEP_BROADCAST_CAP must NOT become a driver
+    array / broadcast (at 100 TB that would OOM the driver) — search()
+    auto-routes it to keep_mode='bucketed', where the ids flow through
+    the (shard, bucket) cogroup shuffle as data rows. Results must be
+    identical across the broadcast kernel path, the bucketed kernel
+    path, and the exhaustive semi-join (rounded-score comparison,
     CLAUDE.md cross-mode invariant)."""
     keep = tiny_corpus.select("doc_id").where(
         F.abs(F.col("doc_id")) % 2 == 0)
     n_keep = keep.count()
     assert n_keep > 5
 
-    calls = []
+    modes = []
     real = bmw.bmw_topk
 
     def spy(*a, **kw):
-        calls.append(1)
+        modes.append(kw.get("keep_mode", "broadcast"))
         return real(*a, **kw)
 
     monkeypatch.setattr(bmw, "bmw_topk", spy)
 
+    def rounded(df):
+        return {(r["query_id"], r["doc_id"], round(r["score"], 9))
+                for r in df.collect()}
+
     # cap above the filter size → broadcast kernel path
     monkeypatch.setattr(Engine, "KEEP_BROADCAST_CAP", n_keep + 1)
-    via_bmw = {
-        (r["query_id"], r["doc_id"], round(r["score"], 9))
-        for r in engine.search(tiny_queries, k=10, mode="bmw",
-                               doc_filter=keep).collect()
-    }
-    assert len(calls) == 1
+    via_broadcast = rounded(engine.search(tiny_queries, k=10, mode="bmw",
+                                          doc_filter=keep))
+    assert modes == ["broadcast"]
 
-    # cap below the filter size → rerouted; bmw_topk never called
+    # cap below the filter size → bucketed cogroup keep path
     monkeypatch.setattr(Engine, "KEEP_BROADCAST_CAP", n_keep - 1)
-    via_exh = {
-        (r["query_id"], r["doc_id"], round(r["score"], 9))
-        for r in engine.search(tiny_queries, k=10, mode="bmw",
-                               doc_filter=keep).collect()
-    }
-    assert len(calls) == 1  # unchanged: broadcast path was skipped
-    assert via_exh == via_bmw
+    via_bucketed = rounded(engine.search(tiny_queries, k=10, mode="bmw",
+                                         doc_filter=keep))
+    assert modes == ["broadcast", "bucketed"]
+    assert via_bucketed == via_broadcast
+
+    # exhaustive semi-join agrees too
+    via_exh = rounded(engine.search(tiny_queries, k=10, mode="exhaustive",
+                                    doc_filter=keep))
+    assert via_exh == via_broadcast
     # and the filter actually applied
-    assert all(d % 2 == 0 for _, d, _ in via_exh)
+    assert all(d % 2 == 0 for _, d, _ in via_broadcast)
+
+
+def test_bucketed_keep_excludes_shards_with_no_eligible_docs(spark,
+                                                             engine,
+                                                             tiny_corpus):
+    """A bucketed filter whose ids all miss a shard must exclude that
+    shard's docs entirely (empty keep array ≠ no filter): filter to a
+    SINGLE doc and verify exactly that doc comes back."""
+    one = tiny_corpus.select("doc_id").orderBy("doc_id").limit(1)
+    target = one.collect()[0]["doc_id"]
+    content = tiny_corpus.where(F.col("doc_id") == target) \
+        .select("content").collect()[0]["content"]
+    # query with a term from the target doc so it scores
+    term = content.split()[0]
+    q = spark.createDataFrame([(0, term)], "query_id long, query string")
+    got = bmw.bmw_topk(spark, q, engine.paths, k=10, keep_docs=one,
+                       keep_mode="bucketed").collect()
+    assert [r["doc_id"] for r in got] == [target]
