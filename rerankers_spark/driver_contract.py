@@ -499,6 +499,33 @@ def q_bm25_topk_filtered_bucketed(spark: SparkSession,
     return topk(rounded, 10).select("query_id", "doc_id", "rank", "score")
 
 
+def q_bm25_topk_attr_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME filtered search once more, through an ATTRIBUTE-
+    PARTITIONED index (build_index attr_col='lang'): the lang='en'
+    predicate lands on the blocks table's physical partition column and
+    prunes whole directories at the parquet scan — no keep-list, no
+    broadcast, no extra shuffle (the 100-TB shape for high-selectivity
+    attributes). Must hash-match the same DuckDB oracle as both
+    keep-list paths."""
+    import os
+    import shutil
+
+    from rerankers_spark.index.spimi import build_index
+    from rerankers_spark.query import bmw as bmw_mod
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    idx = f"/tmp/contract_index_attr_{tag}"
+    shutil.rmtree(idx, ignore_errors=True)
+    paths = build_index(spark, corpus, idx, n_shards=8, attr_col="lang")
+    raw = bmw_mod.bmw_topk(spark, _queries_df(spark), paths, k=50,
+                           attr_values=["en"])
+    rounded = raw.select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
+    )
+    return topk(rounded, 10).select("query_id", "doc_id", "rank", "score")
+
+
 # -- dedup / similarity / text-analysis entries -------------------------------
 
 _SQL_SHINGLES = f"""
@@ -1202,6 +1229,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "bm25_topk_filtered": (q_bm25_topk_filtered, _SQL_BM25_TOPK_FILTERED),
     "bm25_topk_filtered_bucketed": (q_bm25_topk_filtered_bucketed,
                                     _SQL_BM25_TOPK_FILTERED),
+    "bm25_topk_attr_pruned": (q_bm25_topk_attr_pruned,
+                              _SQL_BM25_TOPK_FILTERED),
     "bm25_topk_deleted": (q_bm25_topk_deleted,
                           _sql_bm25_topk_lifecycle(purged=False)),
     "bm25_topk_delete_compacted": (q_bm25_topk_delete_compacted,

@@ -53,11 +53,15 @@ from rerankers_spark.operators import bm25
 
 BLOCK_SIZE = 128
 
-BLOCKS_SCHEMA = (
+BLOCKS_SCHEMA_BASE = (
     "shard_id int, term string, block_id int, first_doc long, last_doc long, "
     "n int, docs_vb binary, tfs_vb binary, dls_vb binary, max_tfsat double, "
     "max_tf long, min_dl long"
 )
+#: the read schema: ``attr`` (attribute-partitioned indexes) reads as
+#: NULL on indexes whose parquet files don't carry it — non-attr builds
+#: write BLOCKS_SCHEMA_BASE so they pay nothing for the column.
+BLOCKS_SCHEMA = BLOCKS_SCHEMA_BASE + ", attr string"
 
 MANIFEST_SCHEMA = (
     "shard_id int, n_docs long, n_postings long, n_blocks long, "
@@ -81,15 +85,18 @@ def _tf_sat(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
 
 
 POSTINGS_SCHEMA = "shard_id int, term string, doc_id long, dl long, tf long"
+POSTINGS_SCHEMA_ATTR = POSTINGS_SCHEMA + ", attr string"
 
 
 def _postings_map(batches):
-    """content → (shard, term, doc_id, dl, tf) rows, fused in ONE Arrow
-    stage: tf is complete per (term, doc) because a doc lives in one row,
-    so the wide explode→groupBy shuffle of the declarative formulation
-    (bm25.postings) is unnecessary for the BUILD — postings go straight
-    into the single shard shuffle. (SPIMI's per-partition in-memory
-    inversion, Arrow-batched.)"""
+    """content → (shard, term, doc_id, dl, tf[, attr]) rows, fused in ONE
+    Arrow stage: tf is complete per (term, doc) because a doc lives in
+    one row, so the wide explode→groupBy shuffle of the declarative
+    formulation (bm25.postings) is unnecessary for the BUILD — postings
+    go straight into the single shard shuffle. (SPIMI's per-partition
+    in-memory inversion, Arrow-batched.) An ``attr`` input column (the
+    index partition attribute, see build_index) is carried through
+    per-posting."""
     import re
     from collections import Counter
 
@@ -100,55 +107,88 @@ def _postings_map(batches):
 
     splitter = re.compile(TOKEN_SPLIT_RE)
     for pdf in batches:
-        doc_ids, shards, terms, dls, tfs = [], [], [], [], []
-        for doc_id, shard, content in zip(
-            pdf["doc_id"], pdf["shard_id"], pdf["content"]
-        ):
-            toks = [
-                t
-                for t in splitter.split((content or "").lower())
-                if t and len(t) <= MAX_TOKEN_LEN
-            ]
-            dl = len(toks)
-            for term, tf in Counter(toks).items():
-                doc_ids.append(doc_id)
-                shards.append(shard)
-                terms.append(term)
-                dls.append(dl)
-                tfs.append(tf)
-        yield pd.DataFrame(
-            {
-                "shard_id": np.array(shards, dtype=np.int32),
-                "term": terms,
-                "doc_id": np.array(doc_ids, dtype=np.int64),
-                "dl": np.array(dls, dtype=np.int64),
-                "tf": np.array(tfs, dtype=np.int64),
-            }
-        )
+        has_attr = "attr" in pdf.columns
+        doc_ids, shards, terms, dls, tfs, attrs = [], [], [], [], [], []
+        # two loop bodies: the per-posting appends ARE the build's hot
+        # Python loop (tens of millions of iterations) — a per-posting
+        # `if has_attr` branch measurably slowed non-attr builds (~9%
+        # A/B), so the branch is hoisted out of the loop entirely.
+        if has_attr:
+            for doc_id, shard, content, attr in zip(
+                pdf["doc_id"], pdf["shard_id"], pdf["content"],
+                pdf["attr"].tolist()
+            ):
+                toks = [
+                    t
+                    for t in splitter.split((content or "").lower())
+                    if t and len(t) <= MAX_TOKEN_LEN
+                ]
+                dl = len(toks)
+                for term, tf in Counter(toks).items():
+                    doc_ids.append(doc_id)
+                    shards.append(shard)
+                    terms.append(term)
+                    dls.append(dl)
+                    tfs.append(tf)
+                    attrs.append(attr)
+        else:
+            for doc_id, shard, content in zip(
+                pdf["doc_id"], pdf["shard_id"], pdf["content"]
+            ):
+                toks = [
+                    t
+                    for t in splitter.split((content or "").lower())
+                    if t and len(t) <= MAX_TOKEN_LEN
+                ]
+                dl = len(toks)
+                for term, tf in Counter(toks).items():
+                    doc_ids.append(doc_id)
+                    shards.append(shard)
+                    terms.append(term)
+                    dls.append(dl)
+                    tfs.append(tf)
+        out = {
+            "shard_id": np.array(shards, dtype=np.int32),
+            "term": terms,
+            "doc_id": np.array(doc_ids, dtype=np.int64),
+            "dl": np.array(dls, dtype=np.int64),
+            "tf": np.array(tfs, dtype=np.int64),
+        }
+        if has_attr:
+            out["attr"] = attrs
+        yield pd.DataFrame(out)
 
 
-def corpus_postings_arrow(corpus_with_shard: DataFrame) -> DataFrame:
-    """(shard_id, term, doc_id, dl, tf) via the fused Arrow stage."""
-    return corpus_with_shard.select(
-        "doc_id", "shard_id", "content"
-    ).mapInPandas(_postings_map, POSTINGS_SCHEMA)
+def corpus_postings_arrow(corpus_with_shard: DataFrame,
+                          attr: bool = False) -> DataFrame:
+    """(shard_id, term, doc_id, dl, tf[, attr]) via the fused Arrow
+    stage."""
+    cols = ["doc_id", "shard_id", "content"] + (["attr"] if attr else [])
+    return corpus_with_shard.select(*cols).mapInPandas(
+        _postings_map, POSTINGS_SCHEMA_ATTR if attr else POSTINGS_SCHEMA)
 
 
 def _build_shard_blocks(
     pdf: pd.DataFrame, avgdl: float
 ) -> pd.DataFrame:
-    """One shard's (term, doc_id, tf, dl) rows → block rows.
+    """One group's (term, doc_id, tf, dl) rows → block rows. A group is
+    one shard — or one (shard, attr) pair for an attribute-partitioned
+    index (build_index attr_col), in which case every input row shares
+    one ``attr`` value that is stamped onto the block rows.
 
     Fully vectorized across the whole shard: block boundaries, per-block
     aggregates (reduceat) and the three varbyte streams are each ONE
     numpy pass; per-block work is just byte-slicing. (The earlier
     per-block formulation made ~8 tiny numpy calls per block — 3M calls
     per 50k-doc build — and dominated build wall time.)"""
+    has_attr = "attr" in pdf.columns
     cols = ("shard_id", "term", "block_id", "first_doc", "last_doc", "n",
-            "docs_vb", "tfs_vb", "dls_vb", "max_tfsat", "max_tf", "min_dl")
+            "docs_vb", "tfs_vb", "dls_vb", "max_tfsat", "max_tf", "min_dl",
+            ) + (("attr",) if has_attr else ())
     if len(pdf) == 0:
         return pd.DataFrame({k: [] for k in cols})
     shard_id = int(pdf["shard_id"].iloc[0])
+    attr_val = pdf["attr"].iloc[0] if has_attr else None
     # Sort on FACTORIZED term codes, not strings: lexsort over two int64
     # arrays instead of a mergesort of ~1M object-dtype rows. The string
     # sort was the build's bandwidth hog and anti-scaled across
@@ -218,6 +258,8 @@ def _build_shard_blocks(
             "max_tfsat": max_tfsat,
             "max_tf": max_tf,
             "min_dl": min_dl,
+            **({"attr": np.full(len(bstart), attr_val, dtype=object)}
+               if has_attr else {}),
         }
     )
 
@@ -262,7 +304,7 @@ class IndexPaths:
         "termstats": "term string, df long, gen int",
         "manifest": MANIFEST_SCHEMA,
         "tombstones": "doc_id long",
-        "compact_postings": POSTINGS_SCHEMA,
+        "compact_postings": POSTINGS_SCHEMA_ATTR,
         "compact_docstats": "doc_id long, shard_id int, "
                             "content_sha256 string, dl long",
     }
@@ -360,12 +402,25 @@ def build_index(
     path: str,
     n_shards: int = 32,
     resume: bool = False,
+    attr_col: str | None = None,
 ) -> IndexPaths:
     """Build (or resume) the block index at ``path``.
 
     corpus: DataFrame(doc_id, content, content_sha256, ...).
     Plan shape: ONE wide shuffle (explode→groupBy for tf) feeding a
     per-shard applyInPandas; global stats are separate cheap aggs.
+
+    attr_col: optional metadata column (e.g. ``lang``, ``repo``) that
+    becomes a PHYSICAL partition column of the blocks table — the
+    100-TB answer for high-selectivity attribute filters: an
+    attr-filtered search prunes whole partition directories at the
+    parquet scan instead of shipping a keep-list (Engine.search
+    attr_filter / bmw_topk attr_values). Each (shard, attr) pair is a
+    self-contained doc-disjoint posting run (a doc has ONE attr), so
+    per-group top-k lists still merge into the exact global top-k;
+    global stats (N, avgdl, df) remain corpus-wide, preserving the
+    standard filtered-search scoring semantics. Appends must supply the
+    same column; compaction preserves it.
     """
     paths = IndexPaths(path)
     done: set[int] = set()
@@ -389,6 +444,8 @@ def build_index(
     corpus = corpus.withColumn(
         "shard_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
     )
+    if attr_col:
+        corpus = corpus.withColumn("attr", F.col(attr_col).cast("string"))
 
     # ---- global stats (full corpus, independent of resume state) ----------
     # N and avgdl are observed DURING the docstats write (one action, no
@@ -424,14 +481,16 @@ def build_index(
 
     # ---- postings for not-yet-done shards ----------------------------------
     todo = corpus.where(~F.col("shard_id").isin(list(done))) if done else corpus
-    p = corpus_postings_arrow(todo)
+    p = corpus_postings_arrow(todo, attr=bool(attr_col))
 
     t0 = time.time()
-    blocks = p.groupBy("shard_id").applyInPandas(
-        lambda pdf: _build_shard_blocks(pdf, avgdl), BLOCKS_SCHEMA
+    group_keys = ["shard_id"] + (["attr"] if attr_col else [])
+    blocks = p.groupBy(*group_keys).applyInPandas(
+        lambda pdf: _build_shard_blocks(pdf, avgdl),
+        BLOCKS_SCHEMA if attr_col else BLOCKS_SCHEMA_BASE
     )
     paths.write(blocks, "blocks", mode="append" if done else "overwrite",
-                partition_by=["shard_id"])
+                partition_by=group_keys)
     wall = time.time() - t0
 
     # ---- termstats + manifest: ONE narrow scan of the block metadata
@@ -490,7 +549,8 @@ def build_index(
     # reader that finds scalars is guaranteed blocks/termstats/manifest
     # are complete; a crash before this point leaves no committed index.
     _write_scalars(spark, paths, n_docs, avgdl, n_shards,
-                   visible_gens=[0], next_gen=1, sum_dl=sum_dl)
+                   visible_gens=[0], next_gen=1, sum_dl=sum_dl,
+                   attr_col=attr_col)
     return paths
 
 
@@ -499,7 +559,8 @@ def _write_scalars(spark: SparkSession, paths: IndexPaths, n_docs: int,
                    visible_gens: list[int],
                    next_gen: int,
                    sum_dl: int | None = None,
-                   last_batch_id: str | None = None) -> None:
+                   last_batch_id: str | None = None,
+                   attr_col: str | None = None) -> None:
     """The scalars row is the index's COMMIT POINT: every other table is
     append-only with orphan rows made invisible by visible_generations /
     shard_pred / load_termstats, so the single-row scalars overwrite
@@ -517,10 +578,11 @@ def _write_scalars(spark: SparkSession, paths: IndexPaths, n_docs: int,
     generation = len(visible_gens) - 1
     df = spark.createDataFrame(
         [(n_docs, avgdl, n_shards, generation, sum_dl, last_batch_id,
-          ",".join(str(g) for g in visible_gens), int(next_gen))],
+          ",".join(str(g) for g in visible_gens), int(next_gen),
+          attr_col)],
         "n_docs long, avgdl double, n_shards int, generation int, "
         "sum_dl long, last_batch_id string, visible_gens string, "
-        "next_gen int",
+        "next_gen int, attr_col string",
     ).coalesce(1)
     paths.write(df, "scalars", mode="overwrite")
 
@@ -621,6 +683,10 @@ def append_index(
         (F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)) + gen * n_shards)
         .cast("int"),
     )
+    attr_col = meta.get("attr_col")
+    if attr_col:
+        new_corpus = new_corpus.withColumn(
+            "attr", F.col(attr_col).cast("string"))
     dt = new_corpus.select(
         "doc_id", "shard_id", "content_sha256",
         token_count_pandas_udf(F.col("content")).alias("dl"),
@@ -637,11 +703,13 @@ def append_index(
     sum_dl = prev_sum + batch_sum
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
 
-    p = corpus_postings_arrow(new_corpus)
-    blocks = p.groupBy("shard_id").applyInPandas(
-        lambda pdf: _build_shard_blocks(pdf, avgdl), BLOCKS_SCHEMA
+    p = corpus_postings_arrow(new_corpus, attr=bool(attr_col))
+    group_keys = ["shard_id"] + (["attr"] if attr_col else [])
+    blocks = p.groupBy(*group_keys).applyInPandas(
+        lambda pdf: _build_shard_blocks(pdf, avgdl),
+        BLOCKS_SCHEMA if attr_col else BLOCKS_SCHEMA_BASE
     )
-    paths.write(blocks, "blocks", mode="append", partition_by=["shard_id"])
+    paths.write(blocks, "blocks", mode="append", partition_by=group_keys)
 
     # per-generation df CONTRIBUTION (load_termstats sums visible gens) —
     # derived from the new generation's blocks only, never a full rescan
@@ -666,7 +734,8 @@ def append_index(
                    visible_gens=vis + [gen], next_gen=gen + 1,
                    sum_dl=sum_dl,
                    last_batch_id=(None if batch_id is None
-                                  else str(batch_id)))
+                                  else str(batch_id)),
+                   attr_col=attr_col)
     return paths
 
 
@@ -723,13 +792,16 @@ def load_tombstones(spark: SparkSession, paths: IndexPaths):
 
 def _decode_blocks_map(batches: Iterable[pd.DataFrame]
                        ) -> Iterable[pd.DataFrame]:
-    """Block rows → raw (term, doc_id, dl, tf) posting rows (shard_id is
-    re-derived downstream). Inverse of _build_shard_blocks, numpy per
-    block, one concat per Arrow batch."""
+    """Block rows → raw (term, doc_id, dl, tf[, attr]) posting rows
+    (shard_id is re-derived downstream). Inverse of _build_shard_blocks,
+    numpy per block, one concat per Arrow batch; the block's ``attr``
+    (attribute-partitioned indexes) is repeated per posting when the
+    input carries it."""
     for pdf in batches:
         if len(pdf) == 0:
             continue
-        terms, docs, tfs, dls = [], [], [], []
+        has_attr = "attr" in pdf.columns
+        terms, docs, tfs, dls, attrs = [], [], [], [], []
         for row in pdf.itertuples(index=False):
             d = vb.delta_decode(row.docs_vb, base=int(row.first_doc))
             terms.append(np.repeat(np.array([row.term], dtype=object),
@@ -737,12 +809,43 @@ def _decode_blocks_map(batches: Iterable[pd.DataFrame]
             docs.append(d)
             tfs.append(vb.decode(row.tfs_vb))
             dls.append(vb.decode(row.dls_vb))
-        yield pd.DataFrame({
+            if has_attr:
+                attrs.append(np.repeat(np.array([row.attr], dtype=object),
+                                       len(d)))
+        out = {
             "term": np.concatenate(terms),
             "doc_id": np.concatenate(docs).astype(np.int64),
             "dl": np.concatenate(dls).astype(np.int64),
             "tf": np.concatenate(tfs).astype(np.int64),
-        })
+        }
+        if has_attr:
+            out["attr"] = np.concatenate(attrs)
+        yield pd.DataFrame(out)
+
+
+def plan_tiered_merge(spark: SparkSession, paths: IndexPaths,
+                      max_generations: int = 4) -> list[int] | None:
+    """Maintenance policy (Lucene TieredMergePolicy shape): when more
+    than ``max_generations`` generations are visible, pick the SMALLEST
+    ones (by manifest doc count) — just enough that merging them into
+    one brings the count back to the target — so each maintenance
+    cycle's IO is bounded by the small generations streaming ingest
+    accretes, and the bulk generation is never rewritten. Returns the
+    generation-id list to pass to compact_index, or None when no merge
+    is due."""
+    meta = load_meta(spark, paths)
+    vis = visible_generations(meta)
+    if len(vis) <= max_generations:
+        return None
+    sizes = {g: 0 for g in vis}
+    for r in (paths.read(spark, "manifest")
+              .where(F.col("gen").isin(vis))
+              .groupBy("gen").agg(F.sum("n_docs").alias("nd")).collect()):
+        sizes[int(r["gen"])] = int(r["nd"] or 0)
+    by_size = sorted(vis, key=lambda g: (sizes[g], g))
+    # merging m generations into 1 reduces the count by m-1
+    n_merge = len(vis) - max_generations + 1
+    return sorted(by_size[:n_merge])
 
 
 def compact_index(spark: SparkSession, path: str,
@@ -860,23 +963,31 @@ def compact_index(spark: SparkSession, path: str,
     paths.write(paths.read(spark, "compact_docstats"), "docstats",
                 mode="append", partition_by=["shard_id"])
 
+    attr_mode = bool(meta.get("attr_col"))
+    attr_sel = ["attr"] if attr_mode else []
     postings = (
         paths.read(spark, "blocks").where(sel_pred)
-        .select("term", "first_doc", "docs_vb", "tfs_vb", "dls_vb")
-        .mapInPandas(_decode_blocks_map, "term string, doc_id long, "
-                                         "dl long, tf long")
+        .select("term", "first_doc", "docs_vb", "tfs_vb", "dls_vb",
+                *attr_sel)
+        .mapInPandas(_decode_blocks_map,
+                     "term string, doc_id long, dl long, tf long"
+                     + (", attr string" if attr_mode else ""))
         .withColumn("shard_id", reshard)
-        .select("shard_id", "term", "doc_id", "dl", "tf")
+        .select("shard_id", "term", "doc_id", "dl", "tf", *attr_sel)
     )
     if purge:
         postings = postings.join(tomb_df, "doc_id", "left_anti")
     paths.write(postings, "compact_postings", mode="overwrite")
 
-    blocks = paths.read(spark, "compact_postings").groupBy(
-        "shard_id").applyInPandas(
-        lambda pdf: _build_shard_blocks(pdf, avgdl), BLOCKS_SCHEMA)
+    group_keys = ["shard_id"] + attr_sel
+    compact_src = paths.read(spark, "compact_postings")
+    if not attr_mode:
+        compact_src = compact_src.drop("attr")
+    blocks = compact_src.groupBy(*group_keys).applyInPandas(
+        lambda pdf: _build_shard_blocks(pdf, avgdl),
+        BLOCKS_SCHEMA if attr_mode else BLOCKS_SCHEMA_BASE)
     paths.write(blocks, "blocks", mode="append",
-                partition_by=["shard_id"])
+                partition_by=group_keys)
 
     wall = time.time() - t0
     gen_pred = shard_pred(meta, [new_gen])
@@ -922,7 +1033,8 @@ def compact_index(spark: SparkSession, path: str,
     _write_scalars(spark, paths, n_docs, avgdl, n_shards,
                    visible_gens=new_vis, next_gen=new_gen + 1,
                    sum_dl=sum_dl,
-                   last_batch_id=meta.get("last_batch_id"))
+                   last_batch_id=meta.get("last_batch_id"),
+                   attr_col=meta.get("attr_col"))
 
     # POST-COMMIT GC (best-effort — the rows are already invisible)
     retired = _gen_shards(sel, n_shards)

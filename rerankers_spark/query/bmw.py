@@ -435,6 +435,7 @@ def bmw_topk(
     qt: DataFrame | None = None,
     tomb_bc="load",
     keep_mode: str = "broadcast",
+    attr_values: list | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score, rank): exact BM25 top-k via BMW.
 
@@ -483,6 +484,16 @@ def bmw_topk(
     CACHED Broadcast (or None for no tombstones) so repeated searches
     reuse one broadcast instead of re-collecting and re-shipping the
     array every query (executor.Engine._handles).
+
+    attr_values: for an attribute-partitioned index (build_index
+    attr_col), restrict results to these attribute values — the filter
+    lands on the ``attr`` PARTITION column of the blocks scan, so whole
+    partition directories are pruned before any byte moves (the 100-TB
+    shape for high-selectivity attributes; no keep-list, no broadcast).
+    Scores keep full-corpus stats, identical semantics to the
+    keep-list paths. On an attr-partitioned index the cogroup keys are
+    (shard, attr, bucket): each (shard, attr) posting run is
+    doc-disjoint, so per-group top-k lists still merge exactly.
     """
     from rerankers_spark.index.spimi import (
         _gen_shards,
@@ -548,6 +559,17 @@ def bmw_topk(
         from rerankers_spark.index.spimi import load_blocks
 
         blocks = load_blocks(spark, paths, meta)
+    attr_mode = bool(meta.get("attr_col"))
+    if attr_values is not None:
+        if not attr_mode:
+            raise ValueError(
+                "attr_values requires an attribute-partitioned index "
+                "(build_index attr_col=...); use keep_docs for ad-hoc "
+                "filters")
+        attr_values = [str(v) for v in attr_values]
+        # partition-column predicate → whole attr directories pruned at
+        # the parquet scan (PartitionFilters, asserted in tests)
+        blocks = blocks.where(F.col("attr").isin(attr_values))
     if len(term_rows) <= TERM_PUSHDOWN_CAP:
         blocks = blocks.where(
             F.col("term").isin([r["term"] for r in term_rows]))
@@ -563,9 +585,31 @@ def bmw_topk(
     # block bytes, so the |shards|× replication is the cheap direction.
     shards = spark.createDataFrame([(s,) for s in shard_ids],
                                    "shard_id int")
+    if attr_mode:
+        # cogroup keys gain attr: each (shard, attr) is a doc-disjoint
+        # posting run, so group-local top-k lists still merge exactly.
+        # The query side fans out to the (shard, attr) pairs in play —
+        # the explicit filter list when given (no scan), else the
+        # distinct partition pairs of the (term-filtered) blocks.
+        group_keys = ["shard_id", "attr", "bucket"]
+        if attr_values is not None:
+            side_df = shards.crossJoin(spark.createDataFrame(
+                [(v,) for v in attr_values], "attr string"))
+        else:
+            # FRESH scan (not the `blocks` handle): the pairs listing
+            # would otherwise share its plan subtree with the cogroup's
+            # block side → ambiguous-self-join analysis error. Reads
+            # only the two partition columns (footer-level scan).
+            from rerankers_spark.index.spimi import load_blocks
+
+            side_df = (load_blocks(spark, paths, meta)
+                       .select("shard_id", "attr").distinct())
+    else:
+        group_keys = ["shard_id", "bucket"]
+        side_df = shards
     q_side = qt.select("query_id", "term", "idf",
                        _bucket_col().alias("bucket")) \
-        .crossJoin(F.broadcast(shards))
+        .crossJoin(F.broadcast(side_df))
 
     if bucketed_keep:
         # keep ids flow through the SAME (shard, bucket) cogroup shuffle
@@ -591,11 +635,21 @@ def bmw_topk(
                 else keep_sharded.unionByName(part)
         buckets = spark.createDataFrame(
             [(b,) for b in range(n_buckets)], "bucket int")
-        keep_rows = keep_sharded.crossJoin(F.broadcast(buckets)).select(
+        keep_rows = keep_sharded.crossJoin(F.broadcast(buckets))
+        if attr_mode:
+            # a keep id's attr is unknown → replicate it to the shard's
+            # attr groups so every group knows its eligible set (prefer
+            # attr_values for attribute predicates — that path prunes
+            # instead of replicating)
+            keep_rows = keep_rows.join(
+                F.broadcast(side_df.select("shard_id", "attr").distinct()),
+                "shard_id")
+        keep_rows = keep_rows.select(
             F.col("keep_doc").alias("query_id"),
             F.lit(None).cast("string").alias("term"),
             F.lit(None).cast("double").alias("idf"),
             "bucket", "shard_id",
+            *(["attr"] if attr_mode else []),
         )
         q_side = q_side.unionByName(keep_rows)
 
@@ -629,7 +683,7 @@ def bmw_topk(
                                         else None),
                                keep=keep_local)
 
-    local = blocks_b.groupby("shard_id", "bucket").cogroup(
-        q_side.groupby("shard_id", "bucket")
+    local = blocks_b.groupby(*group_keys).cogroup(
+        q_side.groupby(*group_keys)
     ).applyInPandas(_run, "query_id long, doc_id long, score double")
     return topk(local, k)

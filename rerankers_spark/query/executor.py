@@ -68,6 +68,39 @@ class Engine:
                       generations=generations)
         self.refresh()
 
+    def maintain(self, max_generations: int = 4,
+                 tombstone_ratio: float = 0.10) -> str:
+        """One maintenance cycle (call on a schedule, e.g. after every
+        few streaming appends): a FULL compact when the tombstone
+        backlog passes ``tombstone_ratio`` of the corpus (durable purge
+        + exact bounds restored), else a TIERED merge of the smallest
+        generations when more than ``max_generations`` are visible
+        (bounded IO — the bulk generation is never rewritten), else a
+        no-op. Returns what it did."""
+        from rerankers_spark.index.spimi import (
+            compact_index,
+            load_meta,
+            plan_tiered_merge,
+        )
+
+        meta = load_meta(self.spark, self.paths)
+        n_docs = max(1, int(meta["n_docs"]))
+        n_tomb = (
+            self.paths.read(self.spark, "tombstones")
+            .select("doc_id").distinct().count()
+            if self.paths.exists(self.spark, "tombstones") else 0)
+        if n_tomb / n_docs > tombstone_ratio:
+            compact_index(self.spark, self.paths.root)
+            self.refresh()
+            return f"full_compact (purged {n_tomb} tombstones)"
+        gens = plan_tiered_merge(self.spark, self.paths,
+                                 max_generations=max_generations)
+        if gens:
+            compact_index(self.spark, self.paths.root, generations=gens)
+            self.refresh()
+            return f"tiered_merge {gens}"
+        return "noop"
+
     def _handles(self):
         from rerankers_spark.index.spimi import (
             load_blocks,
@@ -96,9 +129,10 @@ class Engine:
     @classmethod
     def build(cls, spark: SparkSession, corpus: DataFrame, index_path: str,
               n_shards: int = 32, resume: bool = False,
-              scorer: str = "overlap") -> "Engine":
+              scorer: str = "overlap",
+              attr_col: str | None = None) -> "Engine":
         build_index(spark, corpus, index_path, n_shards=n_shards,
-                    resume=resume)
+                    resume=resume, attr_col=attr_col)
         return cls(spark, index_path, scorer=scorer)
 
     # -- first stage ----------------------------------------------------------
@@ -120,7 +154,8 @@ class Engine:
 
     def search(self, queries: DataFrame, k: int = 10,
                mode: str = "bmw",
-               doc_filter: Optional[DataFrame] = None) -> DataFrame:
+               doc_filter: Optional[DataFrame] = None,
+               attr_filter: Optional[list] = None) -> DataFrame:
         """(query_id, doc_id, score, rank) — BM25 top-k.
 
         mode='bmw' (block-skipping fast path), 'exhaustive' (vectorized
@@ -140,6 +175,11 @@ class Engine:
         bucketed cogroup keep path; an attribute that routinely selects
         that much of the corpus should instead be an index partition
         column so the filter prunes whole shards.
+
+        attr_filter: value list for the index's partition attribute
+        (build_index attr_col) — prunes whole block partitions at the
+        scan, the cheapest filter shape by far (bmw.bmw_topk
+        attr_values). Composable with doc_filter.
         """
         keep_mode = "broadcast"
         if doc_filter is not None and mode in ("bmw", "auto"):
@@ -153,17 +193,21 @@ class Engine:
                                 meta=meta, termstats=termstats,
                                 blocks=blocks, keep_docs=doc_filter,
                                 tomb_bc=self._tomb_bc,
-                                keep_mode=keep_mode)
+                                keep_mode=keep_mode,
+                                attr_values=attr_filter)
         if mode == "exhaustive":
-            return self._exhaustive(queries, k, doc_filter=doc_filter)
+            return self._exhaustive(queries, k, doc_filter=doc_filter,
+                                    attr_filter=attr_filter)
         if mode == "auto":
             return self._auto(queries, k, doc_filter=doc_filter,
-                              keep_mode=keep_mode)
+                              keep_mode=keep_mode,
+                              attr_filter=attr_filter)
         raise ValueError(f"unknown mode {mode!r}")
 
     def _auto(self, queries: DataFrame, k: int,
               doc_filter: Optional[DataFrame] = None,
-              keep_mode: str = "broadcast") -> DataFrame:
+              keep_mode: str = "broadcast",
+              attr_filter: Optional[list] = None) -> DataFrame:
         """Route each query dense/sparse with a tag column — fully
         set-oriented (no driver collect; the routing table stays a
         DataFrame however large the query log is)."""
@@ -186,17 +230,19 @@ class Engine:
         qt_sparse = qt.join(sparse_q.select("query_id"), "query_id",
                             "left_semi")
         return self._exhaustive(dense_q, k, doc_filter=doc_filter,
-                                qt=qt_dense) \
+                                qt=qt_dense, attr_filter=attr_filter) \
             .unionByName(
                 bmw.bmw_topk(self.spark, sparse_q, self.paths, k=k,
                              meta=meta, termstats=termstats, blocks=blocks,
                              keep_docs=doc_filter, qt=qt_sparse,
-                             tomb_bc=self._tomb_bc, keep_mode=keep_mode)
+                             tomb_bc=self._tomb_bc, keep_mode=keep_mode,
+                             attr_values=attr_filter)
         )
 
     def _exhaustive(self, queries: DataFrame, k: int,
                     doc_filter: Optional[DataFrame] = None,
-                    qt: Optional[DataFrame] = None) -> DataFrame:
+                    qt: Optional[DataFrame] = None,
+                    attr_filter: Optional[list] = None) -> DataFrame:
         """Score every posting of every query term (no skipping) by
         decoding blocks — the C9 oracle path over the SAME index bytes."""
         import numpy as np
@@ -207,6 +253,13 @@ class Engine:
         # cached handles: no scalar-collect / termstats scan / parquet
         # re-listing on repeated searches (the Engine cache exists for this)
         meta, termstats, blocks = self._handles()
+        if attr_filter is not None:
+            if not meta.get("attr_col"):
+                raise ValueError(
+                    "attr_filter requires an attribute-partitioned index "
+                    "(build_index attr_col=...)")
+            blocks = blocks.where(
+                F.col("attr").isin([str(v) for v in attr_filter]))
         n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
         if qt is None:
             qt = bmw.query_terms_with_idf(self.spark, queries, self.paths,
@@ -311,16 +364,19 @@ class Engine:
     def rank(self, queries: DataFrame, corpus_text: DataFrame,
              first_k: int = 100, final_k: int = 10,
              mode: str = "bmw",
-             doc_filter: Optional[DataFrame] = None) -> DataFrame:
+             doc_filter: Optional[DataFrame] = None,
+             attr_filter: Optional[list] = None) -> DataFrame:
         """BM25 top-first_k → join text → rerank scorer UDF → top-final_k.
 
         This is the consistency-notebook pipeline (test_crossenc.ipynb
         cells 5-8) as one job. corpus_text: (doc_id, content);
-        doc_filter as in :meth:`search` (applies to the first stage, so
-        the reranker only ever sees eligible candidates).
+        doc_filter / attr_filter as in :meth:`search` (applied in the
+        first stage, so the reranker only ever sees eligible
+        candidates).
         """
         cands = self.search(queries, k=first_k, mode=mode,
-                            doc_filter=doc_filter).select(
+                            doc_filter=doc_filter,
+                            attr_filter=attr_filter).select(
             "query_id", "doc_id", F.col("score").alias("bm25_score")
         )
         with_text = cands.join(corpus_text.select(

@@ -276,3 +276,61 @@ def test_compact_crash_before_commit_leaves_index_intact(spark,
         (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
         for r in eng3.search(q, k=10, mode="bmw").collect())
     assert after == before
+
+
+# -- maintenance policy (plan_tiered_merge + Engine.maintain) ----------------
+
+
+def test_maintenance_policy_cycle(spark):
+    """Policy: >max_generations → tiered merge of the SMALLEST gens
+    (bulk gen untouched); tombstone backlog past the ratio → full
+    compact with purge; otherwise noop. Results identical throughout."""
+    base = "/tmp/test_maintain_policy"
+    pdf = synthetic_corpus_pdf(350)
+    shutil.rmtree(base, ignore_errors=True)
+    spimi.build_index(
+        spark, with_doc_id(spark.createDataFrame(pdf.iloc[:150])),
+        base, n_shards=4)
+    for lo in (150, 200, 250, 300):
+        spimi.append_index(
+            spark,
+            with_doc_id(spark.createDataFrame(pdf.iloc[lo:lo + 50])), base)
+    paths = spimi.IndexPaths(base)
+    assert len(spimi.visible_generations(
+        spimi.load_meta(spark, paths))) == 5
+
+    q = spark.createDataFrame(
+        [(0, "common_util"), (1, "def return class")],
+        "query_id long, query string")
+    eng = Engine(spark, base)
+    before = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in eng.search(q, k=10, mode="bmw").collect())
+
+    # plan picks the smallest generations, enough to reach the target
+    plan = spimi.plan_tiered_merge(spark, paths, max_generations=3)
+    assert plan is not None and len(plan) == 3
+    assert 0 not in plan  # the bulk generation is never selected
+
+    act = eng.maintain(max_generations=3)
+    assert act.startswith("tiered_merge")
+    meta = spimi.load_meta(spark, paths)
+    assert len(spimi.visible_generations(meta)) == 3
+    assert meta["n_docs"] == 350
+
+    assert eng.maintain(max_generations=3) == "noop"
+
+    mid = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in eng.search(q, k=10, mode="bmw").collect())
+    assert mid == before
+
+    # tombstone backlog → full compact with purge
+    eng.delete(with_doc_id(spark.createDataFrame(pdf)).select("doc_id")
+               .where(F.abs(F.col("doc_id")) % 5 == 0))
+    act = eng.maintain(max_generations=3, tombstone_ratio=0.10)
+    assert act.startswith("full_compact")
+    meta = spimi.load_meta(spark, paths)
+    assert len(spimi.visible_generations(meta)) == 1
+    assert meta["n_docs"] < 350  # purged
+    assert not paths.exists(spark, "tombstones")
