@@ -526,6 +526,79 @@ def q_bm25_topk_attr_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk(rounded, 10).select("query_id", "doc_id", "rank", "score")
 
 
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed NDCG@10 (eval.ndcg_df, native window math) of the
+    BM25 top-10 run against a deterministic binary qrel set
+    (abs(doc_id) % 7 = 0), under the full DuckDB oracle — the
+    reference's consistency-gate metric (test_crossenc.ipynb cells
+    9-10) as an oracle-gated DataFrame aggregation."""
+    from rerankers_spark.eval import ndcg_df
+
+    run = q_bm25_topk(spark, sf_dir).select("query_id", "doc_id", "rank")
+    rel = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .where(F.abs(F.col("doc_id")) % 7 == 0)
+           .select(F.col("doc_id").cast("long").alias("doc_id"),
+                   F.lit(1.0).alias("rel")))
+    qrels = _queries_df(spark).select("query_id").crossJoin(rel)
+    return ndcg_df(run, qrels, k=10).select(
+        "query_id", F.round("ndcg", 6).alias("ndcg"))
+
+
+_SQL_NDCG_EVAL = f"""
+WITH q(query_id, query) AS (VALUES {_SQL_QUERY_VALUES}),
+{_SQL_CORPUS_CTES},
+qterms AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id,
+           unnest(list_filter(regexp_split_to_array(lower(query),
+                 '[^a-z0-9_]+'), t -> t <> '' AND length(t) <= 64)) AS term
+    FROM q)
+),
+scored AS (
+  SELECT qt.query_id, p.doc_id,
+         round(sum( ln(1.0 + (s.n - ts.df + 0.5) / (ts.df + 0.5))
+              * (p.tf * 2.2)
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)) ), 4) AS score
+  FROM qterms qt
+  JOIN termstats ts USING (term)
+  JOIN postings p USING (term)
+  JOIN docstats d USING (doc_id)
+  CROSS JOIN scal s
+  GROUP BY 1, 2
+),
+run AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored)
+  WHERE rank <= 10
+),
+rel AS (SELECT doc_id, 1.0 AS rel FROM documents WHERE abs(doc_id) % 7 = 0),
+qrels AS (SELECT q.query_id, r.doc_id, r.rel FROM q CROSS JOIN rel r),
+hits AS (
+  SELECT run.query_id, run.rank, coalesce(qr.rel, 0.0) AS rel
+  FROM run LEFT JOIN qrels qr
+    ON run.query_id = qr.query_id AND run.doc_id = qr.doc_id
+),
+dcg AS (SELECT query_id, sum(rel / log2(rank + 1.0)) AS dcg
+        FROM hits GROUP BY 1),
+ideal AS (
+  SELECT query_id, sum(rel / log2(irank + 1.0)) AS idcg FROM (
+    SELECT query_id, rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, doc_id ASC) AS irank
+    FROM qrels)
+  WHERE irank <= 10 GROUP BY 1)
+SELECT q.query_id,
+       round(CASE WHEN i.idcg > 0
+             THEN coalesce(d.dcg, 0.0) / i.idcg ELSE 0.0 END, 6) AS ndcg
+FROM q
+LEFT JOIN dcg d ON q.query_id = d.query_id
+LEFT JOIN ideal i ON q.query_id = i.query_id
+"""
+
+
 # -- dedup / similarity / text-analysis entries -------------------------------
 
 _SQL_SHINGLES = f"""
@@ -1231,6 +1304,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
                                     _SQL_BM25_TOPK_FILTERED),
     "bm25_topk_attr_pruned": (q_bm25_topk_attr_pruned,
                               _SQL_BM25_TOPK_FILTERED),
+    "ndcg_eval": (q_ndcg_eval, _SQL_NDCG_EVAL),
     "bm25_topk_deleted": (q_bm25_topk_deleted,
                           _sql_bm25_topk_lifecycle(purged=False)),
     "bm25_topk_delete_compacted": (q_bm25_topk_delete_compacted,

@@ -71,6 +71,57 @@ def stream_index_appends(
     )
 
 
+QUERY_STREAM_SCHEMA = "query_id long, query string"
+
+
+def read_query_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of query rows (json lines per file)."""
+    return (
+        spark.readStream.schema(QUERY_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .json(input_dir)
+    )
+
+
+def stream_query_search(
+    spark: SparkSession,
+    engine,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    k: int = 10,
+    mode: str = "auto",
+):
+    """Continuous query serving: a stream of (query_id, query) rows →
+    ``foreachBatch`` → ``Engine.search`` → parquet results sink
+    partitioned by epoch.
+
+    Each micro-batch is one distributed search over the CURRENT index
+    (appends land as new generations, visible to the next batch with no
+    restart). foreachBatch is at-least-once; idempotence comes from the
+    sink layout: every epoch owns its ``batch_id`` partition and the
+    write uses dynamic partition overwrite, so a replayed epoch
+    overwrites its own partition instead of duplicating rows.
+    """
+    stream = read_query_stream(spark, input_dir)
+
+    def _answer(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = engine.search(batch_df, k=k, mode=mode).withColumn(
+            "batch_id", F.lit(int(batch_id)))
+        (res.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(output_dir))
+
+    return (
+        stream.writeStream.foreachBatch(_answer)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_doc_stats(stream: DataFrame) -> DataFrame:
     """Running per-lang doc/token counts over a corpus stream."""
     return (

@@ -154,3 +154,44 @@ def test_frame_sample_plan(spark):
     plan = multimodal.frame_sample_plan(media)._jdf.queryExecution()\
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stream_query_search_matches_batch(spark):
+    """Continuous query serving: streamed query files → foreachBatch
+    search → epoch-partitioned parquet sink; results must equal the
+    batch search for the same queries, and the sink layout must be
+    epoch-owned (replay idempotence by dynamic partition overwrite)."""
+    from rerankers_spark.corpus import synthetic_corpus, queries_table
+
+    base = "/tmp/test_stream_qsearch"
+    shutil.rmtree(base, ignore_errors=True)
+    corpus = synthetic_corpus(spark, 300)
+    eng = Engine.build(spark, corpus, f"{base}/index", n_shards=4)
+
+    qdf = queries_table(spark, corpus, n_queries=8)
+    queries = [(r["query_id"], r["query"]) for r in qdf.collect()]
+    qdir = f"{base}/queries_in"
+    os.makedirs(qdir, exist_ok=True)
+    # two files → (with maxFilesPerTrigger=4) one availableNow pass
+    for fi, chunk in enumerate([queries[:4], queries[4:]]):
+        with open(f"{qdir}/q{fi}.json", "w") as f:
+            for qid, qtext in chunk:
+                f.write(json.dumps({"query_id": qid, "query": qtext})
+                        + "\n")
+
+    q = ingest.stream_query_search(
+        spark, eng, qdir, f"{base}/results", f"{base}/ckpt", k=5,
+        mode="bmw")
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(f"{base}/results")
+    assert "batch_id" in got.columns
+    got_set = {(r["query_id"], r["doc_id"], r["rank"],
+                round(r["score"], 9)) for r in got.collect()}
+    exp_set = {(r["query_id"], r["doc_id"], r["rank"],
+                round(r["score"], 9))
+               for r in eng.search(qdf, k=5, mode="bmw").collect()}
+    assert got_set == exp_set
+    # epoch-owned sink partitions
+    assert any(d.startswith("batch_id=")
+               for d in os.listdir(f"{base}/results"))
