@@ -5,8 +5,21 @@ job runs at two parallelism levels (local[8] vs local[32]) on the same
 input; efficiency = (throughput_32 / throughput_8) / (32 / 8).
 
 Each level runs in a FRESH subprocess (a SparkContext's core count is
-fixed per JVM), bench.run() with the same sf_dir, repeated R times taking
-the best (JIT/page-cache warmup noise). Results → BENCH_SCALING.md.
+fixed per JVM), bench.run() with the same sf_dir, alternating levels and
+taking the best (JIT/page-cache warmup noise). Results → BENCH_SCALING.md.
+
+Sample validation: a pre-sample quiet-wait cannot rule out load landing
+MID-sample, and long N-core samples are hit more often than short 4N
+ones, biasing the ratio DOWN. Every sample therefore measures the
+machine's busy CPU rate (/proc/stat, iowait counted as busy) during its
+own window: a local[N] bench can't use much more than N cores itself,
+so ``busy_cores > N + SELF_MARGIN`` means a genuine CPU intruder and
+the sample is rejected and re-run (bounded attempts). Sub-CPU host
+variability (co-tenant memory-bandwidth/cache pressure with zero
+guest-visible signal — observed ±20% on identical code at loadavg 0,
+steal 0) cannot be screened from inside the guest; alternating
+best-of-N is the only defense, and recorded numbers carry that error
+bar.
 """
 
 from __future__ import annotations
@@ -15,15 +28,19 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: cores above the bench's own parallelism level that we attribute to
+#: the bench itself (driver/GC/shuffle threads) before declaring an
+#: external CPU intruder.
+SELF_MARGIN = float(os.environ.get("SCALING_SELF_MARGIN", "2.5"))
 
 
 def _wait_for_quiet(max_wait: int = 240, threshold: float = 3.5) -> None:
     """The sandbox shares a host; external IO-wait spikes poison timing
     comparisons. Wait for 1-min loadavg to settle before each sample."""
-    import time
-
     t0 = time.time()
     while time.time() - t0 < max_wait:
         with open("/proc/loadavg") as f:
@@ -33,8 +50,19 @@ def _wait_for_quiet(max_wait: int = 240, threshold: float = 3.5) -> None:
         time.sleep(15)
 
 
+def _machine_busy_secs() -> float:
+    """Whole-machine non-idle CPU seconds since boot (iowait counted as
+    busy — external IO contention is a disturbance we screen for)."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    idle = vals[3]
+    return (sum(vals) - idle) / os.sysconf("SC_CLK_TCK")
+
+
 def _one(cpus: int, sf_dir: str) -> dict:
     _wait_for_quiet()
+    t0 = time.time()
+    busy0 = _machine_busy_secs()
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus),
@@ -44,20 +72,44 @@ def _one(cpus: int, sf_dir: str) -> dict:
              "BENCH_REPEATS": os.environ.get("BENCH_REPEATS", "1")},
         capture_output=True, text=True, check=True,
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    wall = time.time() - t0
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    r["busy_cores"] = round((_machine_busy_secs() - busy0) / wall, 2)
+    return r
 
 
 def run_levels(lo: int, hi: int, sf_dir: str, repeats: int = 3
                ) -> tuple[dict, dict]:
     """Alternating samples (lo, hi, lo, hi, ...) so ambient load affects
-    both levels symmetrically; best-of-N per level."""
+    both levels symmetrically; a sample whose window's machine busy-CPU
+    rate exceeded its own parallelism level + SELF_MARGIN had a genuine
+    CPU intruder and is rejected and retried (up to 2*repeats attempts
+    per level); best-of-clean per level, falling back to best-of-all if
+    a level never got a clean window."""
     best: dict[int, dict] = {}
-    for _ in range(repeats):
+    best_any: dict[int, dict] = {}
+    clean_count = {lo: 0, hi: 0}
+    attempts = {lo: 0, hi: 0}
+    max_attempts = 2 * repeats
+    while any(clean_count[c] < repeats and attempts[c] < max_attempts
+              for c in (lo, hi)):
         for cpus in (lo, hi):
+            if clean_count[cpus] >= repeats or \
+                    attempts[cpus] >= max_attempts:
+                continue
+            attempts[cpus] += 1
             r = _one(cpus, sf_dir)
-            if cpus not in best or r["value"] < best[cpus]["value"]:
-                best[cpus] = r
-    return best[lo], best[hi]
+            clean = r["busy_cores"] <= cpus + SELF_MARGIN
+            print(f"  sample local[{cpus}] attempt {attempts[cpus]}: "
+                  f"{r['value']}s busy_cores={r['busy_cores']} "
+                  f"{'CLEAN' if clean else 'REJECTED'}", flush=True)
+            if cpus not in best_any or r["value"] < best_any[cpus]["value"]:
+                best_any[cpus] = r
+            if clean:
+                clean_count[cpus] += 1
+                if cpus not in best or r["value"] < best[cpus]["value"]:
+                    best[cpus] = r
+    return (best.get(lo, best_any[lo]), best.get(hi, best_any[hi]))
 
 
 def main() -> None:
