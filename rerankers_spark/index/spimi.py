@@ -652,7 +652,7 @@ def append_index(
 
     * every data write (docstats/blocks/termstats/manifest) is APPEND of
       rows belonging only to the new generation; readers hide them via
-      visible_bound / load_termstats until the final single-row scalars
+      shard_pred / load_termstats until the final single-row scalars
       overwrite — the commit point — publishes the generation;
     * a crash before commit leaves only invisible orphans; the retry
       first deletes the would-be generation's partitions (same ids are
