@@ -599,6 +599,115 @@ LEFT JOIN ideal i ON q.query_id = i.query_id
 """
 
 
+def _contract_engine(spark: SparkSession, sf_dir: str, scorer="overlap"):
+    """Engine over the shared per-sf contract index (built fresh by
+    q_bm25_topk_bmw earlier in registry order; built here if absent)."""
+    import os
+    import shutil
+
+    from rerankers_spark.index.spimi import IndexPaths, build_index
+    from rerankers_spark.query.executor import Engine
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    idx = f"/tmp/contract_index_{tag}"
+    paths = IndexPaths(idx)
+    if not paths.exists(spark, "scalars"):
+        shutil.rmtree(idx, ignore_errors=True)
+        build_index(spark, documents_as_corpus(spark, sf_dir), idx,
+                    n_shards=8)
+    return Engine(spark, idx, scorer=scorer)
+
+
+def q_bm25_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed query set through Engine.search(mode='auto') — the
+    cost-based dense/sparse router (rare-term queries → WAND, head-term
+    queries → vectorized exhaustive) — under the same from-scratch
+    DuckDB oracle as the other index paths."""
+    eng = _contract_engine(spark, sf_dir)
+    raw = eng.search(_queries_df(spark), k=50, mode="auto")
+    rounded = raw.select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
+    )
+    return topk(rounded, 10).select("query_id", "doc_id", "rank", "score")
+
+
+def q_two_stage_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE two-stage pipeline under the value-hash gate: BM25
+    top-50 through the compressed index (rounded cut, cross-engine
+    deterministic), text join, the REAL Reranker scorer UDF (overlap —
+    |q∩d|/|q| over the frozen tokenizer, exactly SQL-expressible), and
+    the frozen (score desc, doc_id asc) final ranking. Overlap values
+    are quantized to multiples of 1/|q| (|q| ≤ ~6), so 4-digit rounding
+    cannot merge distinct values and raw-vs-rounded rank order agree."""
+    corpus = documents_as_corpus(spark, sf_dir)
+    eng = _contract_engine(spark, sf_dir, scorer="overlap")
+    raw = eng.search(_queries_df(spark), k=50, mode="bmw")
+    cand = topk(
+        raw.select("query_id", "doc_id",
+                   F.round("score", 4).alias("score")), 50
+    ).select("query_id", "doc_id")
+    with_text = cand.join(
+        corpus.select("doc_id", F.col("content").alias("text")), "doc_id")
+    with_query = with_text.join(F.broadcast(_queries_df(spark)),
+                                "query_id")
+    reranked = eng.reranker.rank_df(with_query)
+    return reranked.where(F.col("rank") <= 10).select(
+        "query_id", "doc_id", "rank", F.round("score", 4).alias("score"))
+
+
+_SQL_QTOKS = ("list_distinct(list_filter(regexp_split_to_array(lower(query), "
+              "'[^a-z0-9_]+'), t -> t <> '' AND length(t) <= 64))")
+
+_SQL_TWO_STAGE = f"""
+WITH q(query_id, query) AS (VALUES {_SQL_QUERY_VALUES}),
+{_SQL_CORPUS_CTES},
+qterms AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id,
+           unnest(list_filter(regexp_split_to_array(lower(query),
+                 '[^a-z0-9_]+'), t -> t <> '' AND length(t) <= 64)) AS term
+    FROM q)
+),
+scored AS (
+  SELECT qt.query_id, p.doc_id,
+         round(sum( ln(1.0 + (s.n - ts.df + 0.5) / (ts.df + 0.5))
+              * (p.tf * 2.2)
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)) ), 4) AS score
+  FROM qterms qt
+  JOIN termstats ts USING (term)
+  JOIN postings p USING (term)
+  JOIN docstats d USING (doc_id)
+  CROSS JOIN scal s
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS r
+    FROM scored)
+  WHERE r <= 50
+),
+dtoks AS (SELECT doc_id, list_distinct({_SQL_TOKS}) AS dt FROM documents),
+qtoks AS (SELECT query_id, {_SQL_QTOKS} AS qt FROM q),
+rer AS (
+  SELECT c.query_id, c.doc_id,
+         round(CASE WHEN len(qk.qt) > 0
+               THEN len(list_intersect(qk.qt, dk.dt))::DOUBLE / len(qk.qt)
+               ELSE 0.0 END, 4) AS score
+  FROM cand c
+  JOIN dtoks dk ON c.doc_id = dk.doc_id
+  JOIN qtoks qk ON c.query_id = qk.query_id
+)
+SELECT query_id, doc_id, rank, score FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM rer)
+WHERE rank <= 10
+"""
+
+
 # -- dedup / similarity / text-analysis entries -------------------------------
 
 _SQL_SHINGLES = f"""
@@ -1305,6 +1414,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "bm25_topk_attr_pruned": (q_bm25_topk_attr_pruned,
                               _SQL_BM25_TOPK_FILTERED),
     "ndcg_eval": (q_ndcg_eval, _SQL_NDCG_EVAL),
+    "bm25_topk_auto": (q_bm25_topk_auto, _SQL_BM25_TOPK),
+    "two_stage_rank": (q_two_stage_rank, _SQL_TWO_STAGE),
     "bm25_topk_deleted": (q_bm25_topk_deleted,
                           _sql_bm25_topk_lifecycle(purged=False)),
     "bm25_topk_delete_compacted": (q_bm25_topk_delete_compacted,
