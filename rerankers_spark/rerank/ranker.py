@@ -71,15 +71,41 @@ def _stub_scorer(model_name: Optional[str] = None):
 @register_scorer("overlap")
 def _overlap_scorer(model_name: Optional[str] = None):
     """Lexical-overlap scorer: |query_terms ∩ doc_terms| / |query_terms|.
-    A deterministic, vectorized stand-in with cross-encoder-like shape."""
-    from rerankers_spark.functions.tokenize import tokenize_py
+
+    Fully batch-vectorized (no per-row Python loop — this is the gated
+    scorer inside the oracle-checked two_stage_rank pipeline, so it runs
+    hot): tokenize the whole Arrow batch with pandas ``.str`` ops under
+    the frozen spec (findall-form, FIXTURES.md §4), explode to
+    (row, token) pairs, dedup, and count the per-row intersection with
+    one merge. Integer-count division → bit-identical to the old
+    set-based form (tests/test_model_families.py pins the values)."""
+    import numpy as np
+
+    from rerankers_spark.functions.tokenize import (
+        MAX_TOKEN_LEN,
+        TOKEN_FINDALL_RE,
+    )
+
+    def _pairs(s: pd.Series) -> pd.DataFrame:
+        """(row, tok) distinct token pairs for the batch, row = position."""
+        toks = s.fillna("").str.lower().str.findall(TOKEN_FINDALL_RE)
+        e = toks.reset_index(drop=True).explode().dropna()
+        e = e[e.str.len() <= MAX_TOKEN_LEN]
+        return pd.DataFrame(
+            {"row": e.index.to_numpy(dtype=np.int64), "tok": e.to_numpy()}
+        ).drop_duplicates()
 
     def score(query: pd.Series, text: pd.Series) -> pd.Series:
-        out = []
-        for q, t in zip(query, text):
-            qs = set(tokenize_py(q or ""))
-            ts = set(tokenize_py(t or ""))
-            out.append(len(qs & ts) / len(qs) if qs else 0.0)
+        n = len(query)
+        qp = _pairs(query)
+        tp = _pairs(text)
+        n_q = np.zeros(n, dtype=np.float64)
+        np.add.at(n_q, qp["row"].to_numpy(), 1.0)
+        n_common = np.zeros(n, dtype=np.float64)
+        inter = qp.merge(tp, on=["row", "tok"])
+        np.add.at(n_common, inter["row"].to_numpy(), 1.0)
+        out = np.divide(n_common, n_q, out=np.zeros(n, dtype=np.float64),
+                        where=n_q > 0)
         return pd.Series(out, dtype="float64")
 
     return score

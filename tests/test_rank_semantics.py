@@ -165,6 +165,49 @@ def test_overlap_scorer():
     assert ranked.top_k(1)[0].doc_id == 0
 
 
+def test_overlap_scorer_vectorized_matches_set_oracle():
+    """The batch-vectorized overlap scorer must agree exactly with the
+    literal per-row set formulation (the pre-round-4 implementation) on
+    a batch covering empties, None, duplicate tokens, case folding and
+    over-long tokens."""
+    import pandas as pd
+
+    from rerankers_spark.functions.tokenize import tokenize_py
+    from rerankers_spark.rerank.ranker import AVAILABLE_SCORERS
+
+    score = AVAILABLE_SCORERS["overlap"]()
+    queries = ["def parse", "", None, "a a a b", "x" * 70 + " foo",
+               "Case FOLD test", "q1 q2 q3 q4"]
+    texts = ["def parse(x)", "anything", "text", "b c", "foo bar",
+             "case fold TEST extra", None]
+    got = score(pd.Series(queries), pd.Series(texts))
+    for i, (q, t) in enumerate(zip(queries, texts)):
+        qs = set(tokenize_py(q or ""))
+        ts = set(tokenize_py(t or ""))
+        want = len(qs & ts) / len(qs) if qs else 0.0
+        assert got.iloc[i] == want, (i, q, t, got.iloc[i], want)
+    assert got.dtype == "float64"
+
+
+def test_no_row_loop_in_registered_scorers():
+    """No registered scorer may iterate rows in Python (`for … zip(query`)
+    — the overlap scorer is load-bearing inside the oracle-gated
+    two_stage_rank hot path and must stay batch-vectorized."""
+    import inspect
+
+    from rerankers_spark.rerank.ranker import _overlap_scorer, _stub_scorer
+
+    # model-backed scorers (t5/upr/mxbai) format prompt strings per row
+    # before a BATCHED torch forward — that is unavoidable string prep,
+    # not a scoring loop. The gate applies to the scorers that actually
+    # run in the distributed hot path here: stub and overlap.
+    for factory in (_stub_scorer, _overlap_scorer):
+        src = inspect.getsource(factory)
+        assert "zip(query, text)" not in src, (
+            f"per-row zip(query, text) loop in {factory.__name__} — "
+            "must be batch-vectorized")
+
+
 def test_compress_attaches_relevance_score():
     r = Reranker("stub")
     out = r.compress("abc", ["ab", "abcd", "abc"], k=2)
