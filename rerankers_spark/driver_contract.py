@@ -900,6 +900,40 @@ JOIN sizes nb ON nb.doc_id = doc_b
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution over the lsh_then_jaccard pair set:
+    connected components (alternating large-star/small-star DataFrame
+    joins, operators/dedup.py) + canonical-doc selection (min doc_id),
+    labeled over the FULL corpus — singletons keep themselves. This is
+    the actionable dedup stage: drop every keep=false row."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.lsh_then_jaccard(d, min_common=1)
+    return dedup.dedup_clusters(pairs, d)
+
+
+def _sql_dedup_clusters() -> str:
+    """DuckDB transitive-closure oracle: WITH RECURSIVE floods each
+    node's reachable-label set over the same pair graph; min per node =
+    the component's canonical id (terminates: the UNION dedups rows)."""
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({_sql_lsh_then_jaccard()})),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
+reach(u, lbl) AS (
+  SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+),
+labels AS (SELECT u AS doc_id, min(lbl) AS cluster_id
+           FROM reach GROUP BY u)
+SELECT d.doc_id,
+       coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+       (coalesce(l.cluster_id, d.doc_id) = d.doc_id) AS keep
+FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+"""
+
+
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.simhash_near_pairs(d, max_hamming=3).select(
@@ -1433,6 +1467,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "simhash": (q_simhash, _sql_simhash()),
     "ngram_jaccard_topk": (q_ngram_jaccard_topk, _SQL_NGRAM_JACCARD),
     "lsh_then_jaccard": (q_lsh_then_jaccard, _sql_lsh_then_jaccard()),
+    "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
     "dedup_fingerprint": (
         q_dedup_fingerprint,
         f"SELECT doc_id, md5(array_to_string({_SQL_TOKS}, ' ')) AS fp "

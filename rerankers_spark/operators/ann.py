@@ -194,17 +194,13 @@ def cosine_near_dup_pairs(
     )
 
 
-def kmeans_centroids(items: DataFrame, n_centroids: int = 16,
-                     n_iter: int = 5, vec_col: str = "vec",
-                     dim: int = 64, sample_size: int = 4096,
-                     id_col: str = "vec_id") -> list[list[float]]:
-    """Tiny Lloyd's k-means on the driver over a DETERMINISTIC sample —
-    centroids are a broadcast-sized model (IVF coarse quantizer).
-
-    The sample is the smallest ``sample_size`` ids by a salted portable
-    hash — uniform across the corpus and stable across partitioning
-    (a bare limit() samples in partition order: deterministic only by
-    luck, and biased toward whatever files list first at 100 TB)."""
+def _kmeans_sample(items: DataFrame, sample_size: int,
+                   vec_col: str = "vec", id_col: str = "vec_id"):
+    """DETERMINISTIC bounded sample of vectors: the smallest
+    ``sample_size`` ids by a salted portable hash — uniform across the
+    corpus and stable across partitioning (a bare limit() samples in
+    partition order: deterministic only by luck, and biased toward
+    whatever files list first at 100 TB). Returns an (n, dim) ndarray."""
     import numpy as np
 
     order = F.conv(
@@ -212,15 +208,36 @@ def kmeans_centroids(items: DataFrame, n_centroids: int = 16,
                                    F.col(id_col).cast("string"))), 1, 15),
         16, 10,
     ).cast("long")
-    sample = np.array(
+    return np.array(
         items.select(vec_col, F.col(id_col), order.alias("__ord"))
         .orderBy("__ord", id_col)
         .limit(sample_size)
         .toPandas()[vec_col].tolist()
     )
+
+
+def _kmeans_init(sample, n_centroids: int):
+    """Seeded initial centroids: a fixed-RNG choice from the sample
+    (shared by the driver and distributed fits, so both start at the
+    same model)."""
+    import numpy as np
+
     rng = np.random.default_rng(42)
-    cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)),
-                              replace=False)]
+    return sample[rng.choice(len(sample),
+                             size=min(n_centroids, len(sample)),
+                             replace=False)].copy()
+
+
+def kmeans_centroids(items: DataFrame, n_centroids: int = 16,
+                     n_iter: int = 5, vec_col: str = "vec",
+                     dim: int = 64, sample_size: int = 4096,
+                     id_col: str = "vec_id") -> list[list[float]]:
+    """Tiny Lloyd's k-means on the driver over a deterministic sample —
+    centroids are a broadcast-sized model (IVF coarse quantizer). Right
+    when ``sample_size`` vectors represent the corpus; for fitting over
+    the FULL corpus use :func:`kmeans_centroids_distributed`."""
+    sample = _kmeans_sample(items, sample_size, vec_col, id_col)
+    cents = _kmeans_init(sample, n_centroids)
     for _ in range(n_iter):
         d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
         assign = d.argmin(1)
@@ -228,6 +245,50 @@ def kmeans_centroids(items: DataFrame, n_centroids: int = 16,
             m = assign == c
             if m.any():
                 cents[c] = sample[m].mean(0)
+    return cents.tolist()
+
+
+def kmeans_centroids_distributed(
+    items: DataFrame, n_centroids: int = 16, n_iter: int = 5,
+    vec_col: str = "vec", id_col: str = "vec_id",
+    sample_size: int = 4096,
+) -> list[list[float]]:
+    """Corpus-scale Lloyd's k-means: assignment and the per-centroid
+    mean both run as native DataFrame ops over EVERY vector — the
+    driver never collects the vector set.
+
+    Per iteration: assign = nearest-centroid (:func:`ivf_assign`,
+    codegen'd column math against the broadcast-literal centroids), then
+    sum/count per (cell, dimension) via posexplode + groupBy — the
+    shuffle carries only map-side-combined partials (≤ n_centroids × dim
+    rows per task), and the driver collects just the n_centroids × dim
+    aggregate to form the next model. Init is the same seeded
+    sample-based model as :func:`kmeans_centroids`, so on a corpus the
+    sample covers entirely the two fits agree to float-sum
+    reassociation (~1e-12, test-pinned); empty cells keep their
+    previous centroid (same rule as the driver path)."""
+    import numpy as np
+
+    sample = _kmeans_sample(items, sample_size, vec_col, id_col)
+    cents = _kmeans_init(sample, n_centroids)
+    k, dim = cents.shape
+    vecs = items.select(F.col(vec_col).alias("__v"))
+    for _ in range(n_iter):
+        assigned = ivf_assign(vecs, cents.tolist(), "__v")
+        rows = (
+            assigned.select("cell",
+                            F.posexplode(F.col("__v")).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            sums[int(r["cell"]), int(r["pos"])] = float(r["s"])
+            counts[int(r["cell"])] = int(r["n"])
+        nonempty = counts > 0
+        cents[nonempty] = sums[nonempty] / counts[nonempty, None]
     return cents.tolist()
 
 

@@ -295,6 +295,132 @@ def lsh_then_jaccard(docs: DataFrame, text_col: str = "text",
     )
 
 
+def _canon_edges(e: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (u=min, v=max), no self-loops,
+    distinct."""
+    return (
+        e.select(F.least("u", "v").alias("u"),
+                 F.greatest("u", "v").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _sym(e: DataFrame) -> DataFrame:
+    return e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014): every node links its LARGER
+    neighbors to its minimum neighborhood label min(Γ(u) ∪ {u})."""
+    sym = _sym(e)
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    return _canon_edges(
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.least("u", "mn").alias("u"), "v")
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: every node links its SMALLER neighbors (and
+    itself) to the minimum of those neighbors."""
+    small = _sym(e).where(F.col("v") < F.col("u"))
+    mins = small.groupBy("u").agg(F.min("v").alias("m"))
+    star = small.join(mins, "u").select(F.col("m").alias("u"), "v")
+    self_link = mins.select(F.col("m").alias("u"), F.col("u").alias("v"))
+    return _canon_edges(star.unionByName(self_link))
+
+
+def connected_components(pairs: DataFrame, a_col: str = "doc_a",
+                         b_col: str = "doc_b",
+                         max_rounds: int = 20) -> DataFrame:
+    """(doc_id, cluster_id): connected components of the pair graph,
+    cluster_id = min(doc_id) of the component (the frozen canonical
+    tie-break).
+
+    Alternating large-star/small-star label propagation — pure DataFrame
+    joins/aggregations, no driver-side graph: each round is two
+    shuffle-bounded self-joins, and the round count is O(log n) (SoCC
+    2014 Thm 2), so a 100-TB pair set converges in a handful of passes
+    regardless of component diameter (plain neighbor-min propagation is
+    O(diameter) — a degenerate chain of near-dups would never finish).
+    Each round is ``localCheckpoint``-ed: iterative plans otherwise grow
+    exponentially and re-derive the (expensive) pair pipeline per round.
+
+    Raises RuntimeError when ``max_rounds`` is hit without a fixpoint —
+    tests pin the bound on an adversarial path graph.
+    """
+    e = _canon_edges(
+        pairs.select(F.col(a_col).cast("long").alias("u"),
+                     F.col(b_col).cast("long").alias("v"))
+    ).localCheckpoint(eager=True)
+    n_edges = e.count()
+    if n_edges == 0:
+        return e.sparkSession.createDataFrame(
+            [], "doc_id long, cluster_id long")
+    for _ in range(max_rounds):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        n2 = e2.count()
+        # both sides are canonical DISTINCT sets → equal count plus empty
+        # anti-join ⇔ identical edge sets (fixpoint = star forest)
+        if n2 == n_edges and e2.join(e, ["u", "v"], "left_anti").isEmpty():
+            e = e2
+            break
+        e, n_edges = e2, n2
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} "
+            "rounds — raise max_rounds (O(log n) expected)")
+    # fixpoint is a star forest: u = component min (root), v = member
+    labels = e.select(F.col("v").alias("doc_id"),
+                      F.col("u").alias("cluster_id")) \
+        .groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
+    roots = e.select(F.col("u").alias("doc_id")) \
+        .distinct() \
+        .join(labels.select("doc_id"), "doc_id", "left_anti") \
+        .withColumn("cluster_id", F.col("doc_id"))
+    return labels.unionByName(roots)
+
+
+def dedup_clusters(pairs: DataFrame, docs: DataFrame | None = None,
+                   id_col: str = "doc_id", a_col: str = "doc_a",
+                   b_col: str = "doc_b",
+                   max_rounds: int = 20) -> DataFrame:
+    """(doc_id, cluster_id, keep): actionable near-dup resolution — the
+    stage after any pair operator (lsh_then_jaccard, simhash_near_pairs,
+    cosine_near_dup_pairs): transitive closure of the pair graph into
+    clusters, canonical doc = min(doc_id) per cluster (frozen tie-break,
+    same rule as exact_dedup's keeper), ``keep`` = is-canonical.
+
+    A pipeline drops every ``keep = false`` row: given A~B and B~C the
+    cluster is {A,B,C} even when A≁C directly, and exactly one survives.
+    docs, when given, contributes the singletons (docs in no pair keep
+    themselves); otherwise only docs appearing in pairs are labeled.
+    """
+    cc = connected_components(pairs, a_col, b_col, max_rounds=max_rounds)
+    if docs is None:
+        nodes = (
+            pairs.select(F.col(a_col).cast("long").alias("doc_id"))
+            .unionByName(
+                pairs.select(F.col(b_col).cast("long").alias("doc_id")))
+            .distinct()
+        )
+    else:
+        nodes = docs.select(
+            F.col(id_col).cast("long").alias("doc_id")).distinct()
+    return (
+        nodes.join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("cluster_id") == F.col("doc_id"))
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
                         min_common: int = 1) -> DataFrame:

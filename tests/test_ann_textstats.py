@@ -224,3 +224,57 @@ def test_lsh_recall_gate_is_sensitive(spark, driver_embeddings):
     full = _recall(ann.lsh_cosine_topk(q, e, k=10, n_planes=4, dim=64,
                                        n_tables=16).collect(), exact)
     assert one < full
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (IVF coarse-quantizer fitting at corpus scale)
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_distributed_matches_driver_on_sample_corpus(spark, vectors):
+    """When the deterministic sample covers the whole corpus, the
+    distributed assign-and-mean iteration must reproduce the driver
+    Lloyd fit: same seeded init, same argmin tie rule (first minimum),
+    same empty-cell rule — centroids agree to float-sum reassociation
+    and induce IDENTICAL cell assignments."""
+    driver = np.array(ann.kmeans_centroids(
+        vectors, n_centroids=4, n_iter=3, dim=8, sample_size=1000))
+    dist = np.array(ann.kmeans_centroids_distributed(
+        vectors, n_centroids=4, n_iter=3, sample_size=1000))
+    assert driver.shape == dist.shape == (4, 8)
+    assert np.allclose(driver, dist, atol=1e-9), (
+        np.abs(driver - dist).max())
+    a1 = {r["vec_id"]: r["cell"] for r in ann.ivf_assign(
+        vectors, driver.tolist()).select("vec_id", "cell").collect()}
+    a2 = {r["vec_id"]: r["cell"] for r in ann.ivf_assign(
+        vectors, dist.tolist()).select("vec_id", "cell").collect()}
+    assert a1 == a2
+
+
+def test_kmeans_distributed_100k_no_driver_vector_collect(spark):
+    """Corpus-scale fit: 100k synthetic vectors, generated and fitted
+    entirely Spark-side. The only driver materializations are the
+    4096-row init sample and the n_centroids x dim aggregate per
+    iteration — never the vector set."""
+    import inspect
+
+    dim = 16
+    vecs = spark.range(100_000).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), "
+            "j -> sin(cast(id AS DOUBLE) * (j + 1) * 0.37))"
+        ).alias("vec"),
+    )
+    cents = np.array(ann.kmeans_centroids_distributed(
+        vecs, n_centroids=8, n_iter=2))
+    assert cents.shape == (8, dim)
+    assert np.isfinite(cents).all()
+    # the 8 centroids must be distinct models (the fit did something)
+    assert len({tuple(np.round(c, 6)) for c in cents}) == 8
+    # structural no-collect guard: the distributed fit must not call
+    # toPandas/collect outside the bounded sample init and the
+    # per-iteration (cell, pos) aggregate
+    src = inspect.getsource(ann.kmeans_centroids_distributed)
+    assert "toPandas" not in src  # sampling lives in _kmeans_sample
+    assert src.count(".collect()") == 1  # only the aggregate collect

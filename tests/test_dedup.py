@@ -172,3 +172,93 @@ def test_dedup_plans_are_jvm_side(docs):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan  # fully native, not even Arrow
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster resolution (connected components + canonical selection)
+# ---------------------------------------------------------------------------
+
+
+def test_clusters_transitive_chain(spark):
+    """A~B, B~C, A≁C must still land in ONE cluster; canonical = min id;
+    docs outside every pair are singletons that keep themselves."""
+    pairs = spark.createDataFrame(
+        [(20, 10), (20, 30)], "doc_a long, doc_b long")
+    docs = spark.createDataFrame(
+        [(10,), (20,), (30,), (40,)], "doc_id long")
+    out = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in dedup.dedup_clusters(pairs, docs).collect()}
+    assert out == {
+        10: (10, True), 20: (10, False), 30: (10, False), 40: (40, True)}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Deterministic pseudo-random pair graph vs a literal union-find
+    oracle — multiple components, cycles, duplicate + reversed edges."""
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(100, 200))
+    edges = []
+    for _ in range(80):
+        a, b = rng.sample(nodes, 2)
+        edges.append((a, b))
+        if rng.random() < 0.3:
+            edges.append((b, a))  # reversed duplicate
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {}
+    for n in nodes:
+        root = find(n)
+        expect.setdefault(root, set()).add(n)
+    want = {n: min(members)
+            for members in expect.values() for n in members}
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.connected_components(pairs).collect()}
+    touched = {n for e in edges for n in e}
+    assert got == {n: want[n] for n in touched}
+
+
+def test_connected_components_convergence_bound(spark):
+    """Adversarial 64-node PATH graph (diameter 63): the alternating
+    large-star/small-star iteration must converge in O(log n) rounds —
+    well under the default bound — where plain neighbor-min propagation
+    would need ~63 rounds."""
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.connected_components(
+               pairs, max_rounds=10).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_clusters_empty_pairs(spark):
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in dedup.dedup_clusters(empty, docs).collect()}
+    assert out == {1: (1, True), 2: (2, True)}
+
+
+def test_clusters_full_int64_ids(spark):
+    """doc_ids span full int64 incl. negatives (xxhash64) — min-label
+    canonicalization must be pure int64 comparisons, no float decay."""
+    lo = -(2**62) - 3
+    hi = 2**62 + 11
+    pairs = spark.createDataFrame(
+        [(hi, lo), (lo, -5)], "doc_a long, doc_b long")
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.dedup_clusters(pairs).collect()}
+    assert out == {lo: lo, hi: lo, -5: lo}
