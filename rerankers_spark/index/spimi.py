@@ -69,6 +69,9 @@ MANIFEST_SCHEMA = (
     "gen int"
 )
 
+RETIRED_SCHEMA = ("tbl string, part_col string, part_val string, "
+                  "gen int, retired_at double")
+
 
 def _tf_sat(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
     """THE numpy tf-saturation (FIXTURES.md §4 frozen math) — shared by
@@ -303,10 +306,20 @@ class IndexPaths:
                     "dl long",
         "termstats": "term string, df long, gen int",
         "manifest": MANIFEST_SCHEMA,
-        "tombstones": "doc_id long",
+        # tomb_batch: the delete-batch partition key — compaction purges
+        # whole snapshotted batch partitions, so deletes that land DURING
+        # a compact live in new partitions and are never dropped (closes
+        # the old drop-then-rewrite race). Reads as NULL on legacy
+        # non-partitioned tombstone files.
+        "tombstones": "doc_id long, tomb_batch string",
         "compact_postings": POSTINGS_SCHEMA_ATTR,
         "compact_docstats": "doc_id long, shard_id int, "
                             "content_sha256 string, dl long",
+        # grace-period GC ledger: partitions of merged-away generations
+        # are RECORDED here at compaction commit and physically deleted
+        # only by gc_retired() once older than a retention window — an
+        # in-flight query planned pre-commit keeps its scan files.
+        "retired": RETIRED_SCHEMA,
     }
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
@@ -762,11 +775,20 @@ def delete_docs(spark: SparkSession, path: str,
     PRE-delete until compact_index physically purges the postings —
     the same deferred-stats semantics as Lucene, where deleted docs
     count toward collection statistics until segments merge. doc_ids:
-    any DataFrame with a ``doc_id`` column."""
+    any DataFrame with a ``doc_id`` column.
+
+    Each call lands in its own ``tomb_batch`` PARTITION: a full compact
+    snapshots the batch set, purges those ids, and deletes exactly the
+    snapshotted partitions — a delete_docs racing the compaction writes
+    a new partition that survives untouched (no lost deletes)."""
+    import uuid
+
     paths = IndexPaths(path)
+    batch = f"{time.time_ns():x}-{uuid.uuid4().hex[:8]}"
     paths.write(
-        doc_ids.select(F.col("doc_id").cast("long")).distinct(),
-        "tombstones", mode="append",
+        doc_ids.select(F.col("doc_id").cast("long")).distinct()
+        .withColumn("tomb_batch", F.lit(batch)),
+        "tombstones", mode="append", partition_by=["tomb_batch"],
     )
 
 
@@ -918,8 +940,21 @@ def compact_index(spark: SparkSession, path: str,
             f"(visible: {vis})")
     full = set(sel) == set(vis)
     # tombstone SNAPSHOT (full compact only — a partial compact can't
-    # purge: tombstones don't record which generation holds a doc)
-    tomb_arr = load_tombstones(spark, paths) if full else None
+    # purge: tombstones don't record which generation holds a doc). The
+    # snapshot records both the id set AND the batch-partition set, so
+    # the post-commit cleanup drops exactly the snapshotted partitions;
+    # legacy rows (pre-partitioning files, tomb_batch NULL) fall back to
+    # the old rewrite path.
+    tomb_arr, snap_batches, legacy_tombs = None, [], False
+    if full and paths.exists(spark, "tombstones"):
+        trows = (paths.read(spark, "tombstones")
+                 .select("doc_id", "tomb_batch").distinct().collect())
+        if trows:
+            tomb_arr = np.unique(np.array(
+                [r["doc_id"] for r in trows], dtype=np.int64))
+            batches = {r["tomb_batch"] for r in trows}
+            legacy_tombs = None in batches
+            snap_batches = sorted(b for b in batches if b is not None)
     purge = tomb_arr is not None
     tomb_df = (spark.createDataFrame([(int(d),) for d in tomb_arr],
                                      "doc_id long") if purge else None)
@@ -1036,28 +1071,80 @@ def compact_index(spark: SparkSession, path: str,
                    last_batch_id=meta.get("last_batch_id"),
                    attr_col=meta.get("attr_col"))
 
-    # POST-COMMIT GC (best-effort — the rows are already invisible)
-    retired = _gen_shards(sel, n_shards)
-    cat.delete_partitions("blocks", "shard_id", retired)
-    cat.delete_partitions("docstats", "shard_id", retired)
-    cat.delete_partitions("termstats", "gen", sel)
-    cat.delete_partitions("manifest", "gen", sel)
+    # POST-COMMIT: record the merged generations' partitions in the
+    # ``retired`` ledger instead of deleting them — the rows are already
+    # invisible (scalars no longer list their generations), but an
+    # in-flight query whose plan captured the old file list still needs
+    # the bytes. gc_retired() (Engine.maintain / maintain_index_job)
+    # performs the physical deletes once a retention window has passed.
+    now_ts = time.time()
+    led = [("blocks", "shard_id", str(s), int(s // n_shards), now_ts)
+           for s in _gen_shards(sel, n_shards)]
+    led += [("docstats", "shard_id", str(s), int(s // n_shards), now_ts)
+            for s in _gen_shards(sel, n_shards)]
+    led += [("termstats", "gen", str(g), g, now_ts) for g in sel]
+    led += [("manifest", "gen", str(g), g, now_ts) for g in sel]
+    paths.write(spark.createDataFrame(led, RETIRED_SCHEMA), "retired",
+                mode="append")
+    # staging has no readers — dropped immediately
     cat.drop_table("compact_postings")
     cat.drop_table("compact_docstats")
     if purge:
-        # drop only the SNAPSHOTTED tombstones; deletes that landed during
-        # compaction were not purged and must stay (single-writer window:
-        # concurrent delete_docs between this read and rewrite is the one
-        # documented race — run deletes and compaction from one scheduler)
-        cur = [int(r["doc_id"]) for r in paths.read(spark, "tombstones")
-               .select("doc_id").distinct().collect()] \
-            if paths.exists(spark, "tombstones") else []
-        snap = set(int(d) for d in tomb_arr)
-        remaining = sorted(d for d in cur if d not in snap)
-        cat.drop_table("tombstones")
-        if remaining:
-            paths.write(
-                spark.createDataFrame([(d,) for d in remaining],
-                                      "doc_id long"),
-                "tombstones", mode="append")
+        if not legacy_tombs:
+            # drop exactly the SNAPSHOTTED batch partitions — a
+            # delete_docs that raced this compaction wrote a NEW batch
+            # partition, which survives untouched and stays excluded at
+            # query time under deferred stats (no lost deletes, no
+            # rewrite)
+            cat.delete_partitions("tombstones", "tomb_batch",
+                                  snap_batches)
+        else:
+            # legacy non-partitioned rows: the old rewrite (single-writer
+            # window while it runs — only reachable on indexes written
+            # before batch partitioning)
+            cur = [int(r["doc_id"])
+                   for r in paths.read(spark, "tombstones")
+                   .select("doc_id").distinct().collect()] \
+                if paths.exists(spark, "tombstones") else []
+            snap = set(int(d) for d in tomb_arr)
+            remaining = sorted(d for d in cur if d not in snap)
+            cat.drop_table("tombstones")
+            if remaining:
+                paths.write(
+                    spark.createDataFrame(
+                        [(d, "legacy") for d in remaining],
+                        "doc_id long, tomb_batch string"),
+                    "tombstones", mode="append",
+                    partition_by=["tomb_batch"])
     return paths
+
+
+def gc_retired(spark: SparkSession, path: str,
+               retention_secs: float = 3600.0) -> list[tuple]:
+    """Physically delete partitions retired by compaction more than
+    ``retention_secs`` ago (the grace window for in-flight queries whose
+    plans captured the pre-compaction file list), then shrink the
+    ledger. Call from the single maintenance writer (Engine.maintain /
+    maintain_index_job) on a schedule; retention should exceed the
+    longest expected query. Returns the (tbl, part_col, part_val) tuples
+    it deleted."""
+    paths = IndexPaths(path)
+    if not paths.exists(spark, "retired"):
+        return []
+    rows = paths.read(spark, "retired").collect()
+    cutoff = time.time() - retention_secs
+    due = [r for r in rows if float(r["retired_at"]) <= cutoff]
+    if not due:
+        return []
+    cat = paths.catalog(spark)
+    for r in due:
+        cat.delete_partitions(r["tbl"], r["part_col"], [r["part_val"]])
+    remaining = [(r["tbl"], r["part_col"], r["part_val"], r["gen"],
+                  r["retired_at"]) for r in rows
+                 if float(r["retired_at"]) > cutoff]
+    if remaining:
+        paths.write(spark.createDataFrame(remaining, RETIRED_SCHEMA),
+                    "retired", mode="overwrite")
+    else:
+        cat.drop_table("retired")
+    return [(r["tbl"], r["part_col"], r["part_val"]) for r in due]

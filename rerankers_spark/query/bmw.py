@@ -436,6 +436,7 @@ def bmw_topk(
     tomb_bc="load",
     keep_mode: str = "broadcast",
     attr_values: list | None = None,
+    keep_bc=None,
 ) -> DataFrame:
     """(query_id, doc_id, score, rank): exact BM25 top-k via BMW.
 
@@ -485,6 +486,12 @@ def bmw_topk(
     reuse one broadcast instead of re-collecting and re-shipping the
     array every query (executor.Engine._handles).
 
+    keep_bc: optional pre-built Broadcast of keep_docs' sorted id array
+    (broadcast mode only) — the Engine's per-filter cache
+    (executor._keep_broadcast) passes it so repeated filtered searches
+    skip the collect + ship; a standalone call leaves it None and this
+    function builds one.
+
     attr_values: for an attribute-partitioned index (build_index
     attr_col), restrict results to these attribute values — the filter
     lands on the ``attr`` PARTITION column of the blocks scan, so whole
@@ -511,8 +518,12 @@ def bmw_topk(
     if keep_mode not in ("broadcast", "bucketed"):
         raise ValueError(f"unknown keep_mode {keep_mode!r}")
     bucketed_keep = keep_docs is not None and keep_mode == "bucketed"
-    keep_bc = None
-    if keep_docs is not None and keep_mode == "broadcast":
+    if bucketed_keep:
+        keep_bc = None
+    elif keep_docs is not None and keep_bc is None:
+        # standalone call: collect + broadcast here. A long-lived Engine
+        # passes its CACHED keep_bc instead (executor._keep_broadcast) so
+        # repeated filtered searches ship the array once, like tomb_bc.
         keep_arr = np.array(
             [r["doc_id"] for r in keep_docs.select("doc_id")
              .distinct().collect()], dtype=np.int64)

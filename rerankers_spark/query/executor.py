@@ -39,6 +39,15 @@ class Engine:
         # (invalidated by delete()/refresh()); dropped handles are
         # reclaimed by Spark's ContextCleaner once unreferenced.
         self._tomb_bc = "stale"
+        # cached keep-list broadcasts, keyed on the doc_filter's SEMANTIC
+        # fingerprint (semanticHash + sameSemantics — two logically-equal
+        # plans share one entry): a long-lived Engine serving repeated
+        # filtered searches collects + ships the sorted id array once,
+        # not per call (an ~80 MB array at KEEP_BROADCAST_CAP). The key
+        # covers the filter PLAN, not its input bytes — refresh() drops
+        # the cache, so re-create/refresh the Engine if the filter's
+        # source table itself changed in place.
+        self._keep_bc_cache: dict[int, tuple[DataFrame, object]] = {}
 
     def refresh(self) -> None:
         if self._termstats is not None:
@@ -47,6 +56,7 @@ class Engine:
         self._termstats = None
         self._blocks = None
         self._tomb_bc = "stale"
+        self._keep_bc_cache = {}
 
     def delete(self, doc_ids: DataFrame) -> None:
         """Soft-delete docs from the index (tombstones; see
@@ -69,16 +79,21 @@ class Engine:
         self.refresh()
 
     def maintain(self, max_generations: int = 4,
-                 tombstone_ratio: float = 0.10) -> str:
+                 tombstone_ratio: float = 0.10,
+                 gc_retention_secs: float = 3600.0) -> str:
         """One maintenance cycle (call on a schedule, e.g. after every
         few streaming appends): a FULL compact when the tombstone
         backlog passes ``tombstone_ratio`` of the corpus (durable purge
         + exact bounds restored), else a TIERED merge of the smallest
         generations when more than ``max_generations`` are visible
         (bounded IO — the bulk generation is never rewritten), else a
-        no-op. Returns what it did."""
+        no-op. Every cycle then runs the grace-period GC: partitions a
+        compaction retired more than ``gc_retention_secs`` ago are
+        physically deleted (spimi.gc_retired) — size the retention past
+        the longest in-flight query. Returns what it did."""
         from rerankers_spark.index.spimi import (
             compact_index,
+            gc_retired,
             load_meta,
             plan_tiered_merge,
         )
@@ -89,17 +104,22 @@ class Engine:
             self.paths.read(self.spark, "tombstones")
             .select("doc_id").distinct().count()
             if self.paths.exists(self.spark, "tombstones") else 0)
+        did = "noop"
         if n_tomb / n_docs > tombstone_ratio:
             compact_index(self.spark, self.paths.root)
             self.refresh()
-            return f"full_compact (purged {n_tomb} tombstones)"
-        gens = plan_tiered_merge(self.spark, self.paths,
-                                 max_generations=max_generations)
-        if gens:
-            compact_index(self.spark, self.paths.root, generations=gens)
-            self.refresh()
-            return f"tiered_merge {gens}"
-        return "noop"
+            did = f"full_compact (purged {n_tomb} tombstones)"
+        else:
+            gens = plan_tiered_merge(self.spark, self.paths,
+                                     max_generations=max_generations)
+            if gens:
+                compact_index(self.spark, self.paths.root,
+                              generations=gens)
+                self.refresh()
+                did = f"tiered_merge {gens}"
+        n_gc = len(gc_retired(self.spark, self.paths.root,
+                              retention_secs=gc_retention_secs))
+        return did if not n_gc else f"{did} + gc({n_gc} partitions)"
 
     def _handles(self):
         from rerankers_spark.index.spimi import (
@@ -125,6 +145,24 @@ class Engine:
                 self.spark.sparkContext.broadcast(tomb)
                 if tomb is not None else None)
         return self._meta, self._termstats, self._blocks
+
+    def _keep_broadcast(self, doc_filter: DataFrame):
+        """Sorted-keep-array Broadcast for a doc_filter, cached per
+        filter SEMANTICS (see __init__) — same pattern as the tombstone
+        cache."""
+        import numpy as np
+
+        h = doc_filter.semanticHash()
+        got = self._keep_bc_cache.get(h)
+        if got is not None and doc_filter.sameSemantics(got[0]):
+            return got[1]
+        arr = np.array(
+            [r["doc_id"] for r in doc_filter.select("doc_id")
+             .distinct().collect()], dtype=np.int64)
+        arr.sort()
+        bc = self.spark.sparkContext.broadcast(arr)
+        self._keep_bc_cache[h] = (doc_filter, bc)
+        return bc
 
     @classmethod
     def build(cls, spark: SparkSession, corpus: DataFrame, index_path: str,
@@ -182,11 +220,14 @@ class Engine:
         attr_values). Composable with doc_filter.
         """
         keep_mode = "broadcast"
+        keep_bc = None
         if doc_filter is not None and mode in ("bmw", "auto"):
             probe = (doc_filter.select("doc_id")
                      .limit(self.KEEP_BROADCAST_CAP + 1).count())
             if probe > self.KEEP_BROADCAST_CAP:
                 keep_mode = "bucketed"
+            else:
+                keep_bc = self._keep_broadcast(doc_filter)
         if mode == "bmw":
             meta, termstats, blocks = self._handles()
             return bmw.bmw_topk(self.spark, queries, self.paths, k=k,
@@ -194,20 +235,22 @@ class Engine:
                                 blocks=blocks, keep_docs=doc_filter,
                                 tomb_bc=self._tomb_bc,
                                 keep_mode=keep_mode,
-                                attr_values=attr_filter)
+                                attr_values=attr_filter,
+                                keep_bc=keep_bc)
         if mode == "exhaustive":
             return self._exhaustive(queries, k, doc_filter=doc_filter,
                                     attr_filter=attr_filter)
         if mode == "auto":
             return self._auto(queries, k, doc_filter=doc_filter,
                               keep_mode=keep_mode,
-                              attr_filter=attr_filter)
+                              attr_filter=attr_filter, keep_bc=keep_bc)
         raise ValueError(f"unknown mode {mode!r}")
 
     def _auto(self, queries: DataFrame, k: int,
               doc_filter: Optional[DataFrame] = None,
               keep_mode: str = "broadcast",
-              attr_filter: Optional[list] = None) -> DataFrame:
+              attr_filter: Optional[list] = None,
+              keep_bc=None) -> DataFrame:
         """Route each query dense/sparse with a tag column — fully
         set-oriented (no driver collect; the routing table stays a
         DataFrame however large the query log is)."""
@@ -236,7 +279,7 @@ class Engine:
                              meta=meta, termstats=termstats, blocks=blocks,
                              keep_docs=doc_filter, qt=qt_sparse,
                              tomb_bc=self._tomb_bc, keep_mode=keep_mode,
-                             attr_values=attr_filter)
+                             attr_values=attr_filter, keep_bc=keep_bc)
         )
 
     def _exhaustive(self, queries: DataFrame, k: int,

@@ -44,14 +44,32 @@ def stream_index_appends(
     input_dir: str,
     index_path: str,
     checkpoint_dir: str,
+    maintain_every: int | None = None,
+    max_generations: int = 4,
+    tombstone_ratio: float = 0.10,
+    gc_retention_secs: float = 3600.0,
 ):
     """Returns a StreamingQuery appending each micro-batch to the index.
 
     Use ``.trigger(availableNow=True)`` semantics via start+await in
     tests; in production this runs continuously and each batch is one
     index generation.
+
+    maintain_every: run one ``Engine.maintain`` cycle after every N
+    batches — streaming ingest otherwise accretes one tiny generation
+    per batch forever. The hook runs INSIDE foreachBatch, so appends,
+    compactions, deletes-by-policy and grace-period GC all serialize on
+    the stream's single writer thread (the single-writer scheduler the
+    compaction protocol asks for). The generation count then stays
+    ≤ max(max_generations, maintain_every + max_generations - 1) and
+    search results are unchanged by construction (compaction
+    invariants). Maintenance keys off the cumulative batch count, so a
+    replayed batch re-triggers the same (idempotent-by-invariants)
+    cycle rather than skipping it.
     """
     stream = read_corpus_stream(spark, input_dir)
+    n_batches = [0]
+    engine_box: list = []
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -62,6 +80,17 @@ def stream_index_appends(
         # batch_id = the replay guard: foreachBatch is at-least-once, and
         # append_index's commit protocol turns redelivery into a no-op
         spimi.append_index(spark, corpus, index_path, batch_id=batch_id)
+        n_batches[0] += 1
+        if maintain_every and n_batches[0] % maintain_every == 0:
+            from rerankers_spark.query.executor import Engine
+
+            if not engine_box:
+                engine_box.append(Engine(spark, index_path))
+            engine_box[0].refresh()  # see this batch's generation
+            engine_box[0].maintain(
+                max_generations=max_generations,
+                tombstone_ratio=tombstone_ratio,
+                gc_retention_secs=gc_retention_secs)
 
     return (
         stream.writeStream.foreachBatch(_append)

@@ -17,10 +17,17 @@ streaming/batch appends → THIS → queries):
   spark-submit ... --index /data/index --compact --tiered
   spark-submit ... --index /data/index --compact --generations 3,4,5
 
+  # grace-period GC: drop partitions retired by earlier compactions
+  # once no in-flight query can still need them
+  spark-submit ... --index /data/index --gc-retention-secs 3600
+
 Both flags together = delete then compact in one submission. Deletes are
 visible to queries immediately (with pre-delete global stats); a FULL
 compaction is the durable purge — schedule it on tombstone volume, tiered
 compactions on generation count (spimi.compact_index docstring).
+Compactions only LEDGER the merged-away partitions (spimi.gc_retired);
+pass --gc-retention-secs on the maintenance schedule to physically
+delete them after the grace window.
 """
 
 from __future__ import annotations
@@ -55,9 +62,16 @@ def main() -> None:
                     help="merge every generation EXCEPT the largest "
                          "(by manifest doc count) — the bounded-IO "
                          "maintenance shape")
+    ap.add_argument("--gc-retention-secs", type=float, default=None,
+                    help="grace-period GC: physically delete partitions "
+                         "retired by earlier compactions more than this "
+                         "many seconds ago (size past the longest "
+                         "in-flight query; 0 = delete all retired now)")
     args = ap.parse_args()
-    if not args.delete_ids and not args.compact:
-        ap.error("nothing to do: pass --delete-ids and/or --compact")
+    if (not args.delete_ids and not args.compact
+            and args.gc_retention_secs is None):
+        ap.error("nothing to do: pass --delete-ids, --compact and/or "
+                 "--gc-retention-secs")
     if args.generations and args.tiered:
         ap.error("--generations and --tiered are mutually exclusive")
 
@@ -102,6 +116,13 @@ def main() -> None:
                   f"n_docs={meta['n_docs']} "
                   f"generations={visible_generations(meta)} "
                   f"n_shards={meta['n_shards']}")
+
+    if args.gc_retention_secs is not None:
+        from rerankers_spark.index.spimi import gc_retired
+
+        deleted = gc_retired(spark, args.index,
+                             retention_secs=args.gc_retention_secs)
+        print(f"gc: deleted {len(deleted)} retired partitions")
 
 
 if __name__ == "__main__":

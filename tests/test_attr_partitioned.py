@@ -137,3 +137,60 @@ def test_bucketed_keep_on_attr_index(spark, attr_setup):
                                   keep_docs=keep, keep_mode="bucketed"))
     assert got_b == exp
     assert got_k == exp
+
+
+# -- full pairwise lifecycle matrix: keep × attr × deletes × generations ------
+
+MATRIX_BASE = "/tmp/test_attr_lifecycle_matrix"
+
+
+@pytest.fixture(scope="module")
+def lifecycle_matrix(spark):
+    """Worst-case composed index state: attr-partitioned, THREE
+    lifecycle events (two appends + a tiered merge → 2 visible
+    generations, 'safe' bound mode) and a live tombstone set — the
+    state every keep/attr cell below must stay exact in."""
+    pdf = synthetic_corpus_pdf(400)
+    corpus = with_doc_id(spark.createDataFrame(pdf)).cache()
+    corpus.count()
+    shutil.rmtree(MATRIX_BASE, ignore_errors=True)
+    h = F.pmod(F.xxhash64("doc_id"), F.lit(4))
+    spimi.build_index(spark, corpus.where(h <= 1), MATRIX_BASE,
+                      n_shards=4, attr_col="lang")
+    spimi.append_index(spark, corpus.where(h == 2), MATRIX_BASE)
+    spimi.append_index(spark, corpus.where(h == 3), MATRIX_BASE)
+    meta = spimi.load_meta(spark, spimi.IndexPaths(MATRIX_BASE))
+    gens = spimi.visible_generations(meta)
+    assert len(gens) == 3
+    spimi.compact_index(spark, MATRIX_BASE, generations=gens[1:])
+    spimi.delete_docs(
+        spark, MATRIX_BASE,
+        corpus.select("doc_id").where(F.abs(F.col("doc_id")) % 7 == 0))
+    eng = Engine(spark, MATRIX_BASE)
+    q = spark.createDataFrame(
+        # common_util is dense (~50% df) → exercises the per-(query,
+        # shard) in-kernel dense fallback in every cell; the others stay
+        # on the WAND skip path
+        [(0, "common_util"), (1, "def return class"), (2, "rareterm_0")],
+        "query_id long, query string")
+    return corpus, eng, q
+
+
+@pytest.mark.parametrize("attr", [None, ["python"], ["python", "go"]])
+@pytest.mark.parametrize("keep_mode", [None, "broadcast", "bucketed"])
+def test_lifecycle_matrix_cell(spark, lifecycle_matrix, keep_mode, attr):
+    """Every keep-ship-mode × attr-filter cell, on the composed
+    deletes+generations state, must be rank-identical (rounded scores)
+    to the exhaustive decode-all path under the same filters."""
+    corpus, eng, q = lifecycle_matrix
+    keep = (corpus.select("doc_id").where(F.abs(F.col("doc_id")) % 3 == 0)
+            if keep_mode else None)
+    exp = _rounded(eng._exhaustive(q, 10, doc_filter=keep,
+                                   attr_filter=attr))
+    got = _rounded(bmw.bmw_topk(spark, q, eng.paths, k=10,
+                                keep_docs=keep,
+                                keep_mode=keep_mode or "broadcast",
+                                attr_values=attr))
+    assert got == exp
+    if keep_mode is None and attr is None:
+        assert got  # the unfiltered cell must be non-empty

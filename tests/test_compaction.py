@@ -50,6 +50,9 @@ def compacted(spark):
     for r in spark.read.parquet(f"{BASE}/termstats").collect():
         ts_before[r["term"]] = ts_before.get(r["term"], 0) + r["df"]
     spimi.compact_index(spark, BASE)
+    # retention 0 = immediate GC (this module asserts physical cleanup;
+    # the grace-period behavior has its own tests below)
+    spimi.gc_retired(spark, BASE, retention_secs=0.0)
     return pdf, q, before, ts_before
 
 
@@ -172,6 +175,7 @@ def tiered(spark):
     gen0_files = sorted(
         __import__("os").listdir(f"{TIER_BASE}/blocks"))
     spimi.compact_index(spark, TIER_BASE, generations=gens0[1:])
+    spimi.gc_retired(spark, TIER_BASE, retention_secs=0.0)
     return q, before, gens0, gen0_files
 
 
@@ -333,4 +337,102 @@ def test_maintenance_policy_cycle(spark):
     meta = spimi.load_meta(spark, paths)
     assert len(spimi.visible_generations(meta)) == 1
     assert meta["n_docs"] < 350  # purged
-    assert not paths.exists(spark, "tombstones")
+    # all snapshotted tombstone batch partitions were dropped → no rows
+    # remain (the table dir itself may linger, which readers treat as
+    # empty via the explicit schema)
+    assert (not paths.exists(spark, "tombstones")
+            or paths.read(spark, "tombstones").count() == 0)
+    assert spimi.load_tombstones(spark, paths) is None
+
+
+# -- grace-period GC + concurrent-delete safety -------------------------------
+
+
+def test_grace_period_gc_preserves_preplanned_scans(spark):
+    """A query DataFrame planned BEFORE a compaction (its parquet file
+    list captured at plan time) must still collect correctly after the
+    compaction commits, because retired partitions are only LEDGERED at
+    commit; physical deletion happens in gc_retired once the retention
+    window passes."""
+    base = "/tmp/test_grace_gc"
+    shutil.rmtree(base, ignore_errors=True)
+    pdf = synthetic_corpus_pdf(300)
+    spimi.build_index(
+        spark, with_doc_id(spark.createDataFrame(pdf.iloc[:200])),
+        base, n_shards=4)
+    spimi.append_index(
+        spark, with_doc_id(spark.createDataFrame(pdf.iloc[200:])), base)
+    q = spark.createDataFrame(
+        [(0, "common_util"), (1, "def return class")],
+        "query_id long, query string")
+    eng = Engine(spark, base)
+    before = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in eng.search(q, k=10, mode="bmw").collect())
+    # plan (and file-list) an uncollected search over the OLD handles
+    preplanned = eng.search(q, k=10, mode="bmw")
+    spimi.compact_index(spark, base)  # records retirements, deletes nothing
+    late = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in preplanned.collect())
+    assert late == before, "pre-compact plan lost its scan files"
+    # inside the retention window nothing is deleted
+    assert spimi.gc_retired(spark, base, retention_secs=3600.0) == []
+    paths = spimi.IndexPaths(base)
+    assert paths.exists(spark, "retired")
+    # past the window the retired partitions go away and fresh queries
+    # (new handles, post-compact generation) are unaffected
+    deleted = spimi.gc_retired(spark, base, retention_secs=0.0)
+    assert deleted, "expected retired partitions to be GC'd"
+    assert not paths.exists(spark, "retired")  # ledger fully drained
+    eng2 = Engine(spark, base)
+    after = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in eng2.search(q, k=10, mode="bmw").collect())
+    assert after == before
+
+
+def test_concurrent_delete_during_full_compact_not_lost(spark, monkeypatch):
+    """A delete_docs that lands between the compaction's tombstone
+    snapshot and its commit must survive: it writes its own tomb_batch
+    partition, and the post-commit purge drops only SNAPSHOTTED
+    partitions. The late delete stays excluded at query time under
+    deferred stats."""
+    base = "/tmp/test_concurrent_delete_compact"
+    shutil.rmtree(base, ignore_errors=True)
+    pdf = synthetic_corpus_pdf(400)
+    corpus = with_doc_id(spark.createDataFrame(pdf))
+    spimi.build_index(spark, corpus, base, n_shards=4)
+    early = corpus.select("doc_id").where(F.abs(F.col("doc_id")) % 10 == 3)
+    late = corpus.select("doc_id").where(F.abs(F.col("doc_id")) % 10 == 7)
+    spimi.delete_docs(spark, base, early)
+    n_early = early.distinct().count()
+    late_ids = {r["doc_id"] for r in late.distinct().collect()}
+
+    real_commit = spimi._write_scalars
+    fired = []
+
+    def inject_late_delete(*args, **kwargs):
+        # exactly at the worst moment: after the snapshot (taken at
+        # compact start), before the commit + post-commit purge
+        if not fired:
+            fired.append(True)
+            spimi.delete_docs(spark, base, late)
+        return real_commit(*args, **kwargs)
+
+    monkeypatch.setattr(spimi, "_write_scalars", inject_late_delete)
+    spimi.compact_index(spark, base)
+    monkeypatch.undo()
+
+    # the early batch was purged (physically gone, stats recomputed);
+    # the late batch survives as tombstones
+    meta = spimi.load_meta(spark, spimi.IndexPaths(base))
+    assert meta["n_docs"] == 400 - n_early
+    tomb = spimi.load_tombstones(spark, spimi.IndexPaths(base))
+    assert tomb is not None and set(int(d) for d in tomb) == late_ids
+    # and the late-deleted docs never appear in results
+    eng = Engine(spark, base)
+    q = spark.createDataFrame([(0, "common_util")],
+                              "query_id long, query string")
+    got = {r["doc_id"] for r in eng.search(q, k=50, mode="bmw").collect()}
+    assert not (got & late_ids)

@@ -182,7 +182,11 @@ def test_compact_purges_and_recomputes_stats(spark, deleted_engine):
     assert pre_meta["n_docs"] == 500  # stats deferred while tombstoned
 
     spimi.compact_index(spark, BASE)
-    assert not os.path.exists(f"{BASE}/tombstones")
+    # immediate GC so the raw-parquet physical-purge asserts below see
+    # only the surviving generation (default is the grace-period ledger)
+    spimi.gc_retired(spark, BASE, retention_secs=0.0)
+    # every snapshotted tombstone batch partition was dropped → no rows
+    assert spimi.load_tombstones(spark, spimi.IndexPaths(BASE)) is None
     meta = spimi.load_meta(spark, spimi.IndexPaths(BASE))
     assert meta["n_docs"] == 500 - len(dead_ids)
 

@@ -307,3 +307,35 @@ def test_bucketed_keep_excludes_shards_with_no_eligible_docs(spark,
     got = bmw.bmw_topk(spark, q, engine.paths, k=10, keep_docs=one,
                        keep_mode="bucketed").collect()
     assert [r["doc_id"] for r in got] == [target]
+
+
+def test_keep_list_broadcast_cached_across_searches(spark, engine,
+                                                    tiny_corpus,
+                                                    tiny_queries,
+                                                    monkeypatch):
+    """Repeated Engine.search(doc_filter=...) must reuse ONE keep-list
+    broadcast (the per-filter semantic cache) — including for a
+    semantically-equal but distinct DataFrame object — and refresh()
+    must invalidate it."""
+    eng = Engine(spark, INDEX_PATH)
+    keep = tiny_corpus.select("doc_id").where(F.col("doc_id") % 2 == 0)
+    calls = []
+    orig = spark.sparkContext.broadcast
+
+    def spy(value):
+        calls.append(len(value) if hasattr(value, "__len__") else None)
+        return orig(value)
+
+    monkeypatch.setattr(spark.sparkContext, "broadcast", spy)
+    r1 = eng.search(tiny_queries, k=5, doc_filter=keep).collect()
+    n_first = len(calls)
+    assert n_first >= 1  # the keep array was broadcast
+    r2 = eng.search(tiny_queries, k=5, doc_filter=keep).collect()
+    assert len(calls) == n_first, "repeat search re-broadcast the keep list"
+    keep_twin = tiny_corpus.select("doc_id").where(F.col("doc_id") % 2 == 0)
+    eng.search(tiny_queries, k=5, doc_filter=keep_twin).collect()
+    assert len(calls) == n_first, "semantic twin missed the cache"
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+    eng.refresh()
+    eng.search(tiny_queries, k=5, doc_filter=keep).collect()
+    assert len(calls) > n_first, "refresh() did not invalidate the cache"

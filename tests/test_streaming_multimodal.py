@@ -101,6 +101,61 @@ def test_streaming_index_ingest(spark):
     assert [r["doc_id"] for r in got] == [d for d, _ in expected]
 
 
+def test_streaming_ingest_with_maintenance_bounds_generations(spark):
+    """6-batch streamed ingest with maintain_every=2: the in-loop
+    maintenance hook (tiered merges on the stream's single writer
+    thread) must keep the visible generation count ≤ max_generations,
+    and search stays exact vs the numpy oracle over the full corpus."""
+    pdf = synthetic_corpus_pdf(280)
+    in_dir = "/tmp/test_stream_maint_in"
+    idx = "/tmp/test_stream_maint_index"
+    ckpt = "/tmp/test_stream_maint_ckpt"
+    for d in (in_dir, idx, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(in_dir)
+
+    from rerankers_spark.corpus import with_doc_id
+
+    spimi.build_index(
+        spark, with_doc_id(spark.createDataFrame(pdf.iloc[:40])), idx,
+        n_shards=4,
+    )
+    # 24 files × 10 docs; maxFilesPerTrigger=4 → 6 micro-batches
+    for fi, lo in enumerate(range(40, 280, 10)):
+        chunk = pdf.iloc[lo:lo + 10]
+        with open(f"{in_dir}/part{fi:02d}.json", "w") as f:
+            for _, r in chunk.iterrows():
+                f.write(json.dumps(dict(r)) + "\n")
+
+    q = ingest.stream_index_appends(spark, in_dir, idx, ckpt,
+                                    maintain_every=2, max_generations=3)
+    q.awaitTermination(300)
+
+    paths = spimi.IndexPaths(idx)
+    meta = spimi.load_meta(spark, paths)
+    assert meta["n_docs"] == 280
+    assert len(spimi.visible_generations(meta)) <= 3
+
+    rows = with_doc_id(spark.createDataFrame(pdf)).select(
+        "doc_id", "content").collect()
+    oracle = BM25Oracle([r["doc_id"] for r in rows],
+                        [r["content"] for r in rows])
+    eng = Engine(spark, idx)
+    qdf = spark.createDataFrame(
+        [(0, "common_util"), (1, "def return class")],
+        "query_id long, query string")
+    got = eng.search(qdf, k=10, mode="bmw").collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, qtext in [(0, "common_util"), (1, "def return class")]:
+        expected = oracle.topk(qtext, k=10)
+        actual = sorted(by_q[qid], key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in actual] == [d for d, _ in expected]
+        for r, (_, s) in zip(actual, expected):
+            assert r["score"] == pytest.approx(s, abs=1e-9)
+
+
 def test_windowed_event_counts_batch_semantics(spark):
     """The windowed-agg definition applied to a static frame (streaming
     and batch share semantics for event-time windows)."""
