@@ -421,6 +421,45 @@ def dedup_clusters(pairs: DataFrame, docs: DataFrame | None = None,
     )
 
 
+def dedup_corpus(docs: DataFrame, method: str = "lsh_jaccard",
+                 threshold: float = 0.8, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 max_rounds: int = 20) -> DataFrame:
+    """One-call near-dup removal: docs → pair operator → transitive
+    clusters → canonical survivors, returned with the INPUT schema (the
+    shape an indexing/training pipeline consumes: feed the result to
+    build_index or a training run directly).
+
+    method selects the pair operator:
+    * 'exact'       — content-hash duplicates only (threshold ignored)
+    * 'lsh_jaccard' — MinHash-LSH candidates verified by exact n-gram
+                      Jaccard ≥ threshold (the 100-TB default)
+    * 'simhash'     — SimHash pairs within hamming ≤ round((1-threshold)*32)
+
+    Exactly one doc per duplicate cluster survives (min doc_id, the
+    frozen tie-break); docs in no pair pass through untouched.
+    """
+    if method == "exact":
+        keep = exact_dedup(docs, text_col, id_col).select(
+            F.col("keep_doc_id").alias(id_col))
+        return docs.join(keep, id_col, "left_semi")
+    if method == "lsh_jaccard":
+        pairs = lsh_then_jaccard(docs, text_col, id_col).where(
+            F.col("jaccard") >= threshold)
+    elif method == "simhash":
+        pairs = simhash_near_pairs(
+            docs, max_hamming=int(round((1.0 - threshold) * 32)),
+            text_col=text_col, id_col=id_col)
+    else:
+        raise ValueError(f"unknown dedup method {method!r}")
+    clusters = dedup_clusters(pairs, docs, id_col=id_col,
+                              max_rounds=max_rounds)
+    return docs.join(
+        clusters.where(F.col("keep"))
+        .select(F.col("doc_id").alias(id_col)),
+        id_col, "left_semi")
+
+
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
                         min_common: int = 1) -> DataFrame:

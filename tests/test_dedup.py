@@ -262,3 +262,23 @@ def test_clusters_full_int64_ids(spark):
     out = {r["doc_id"]: r["cluster_id"]
            for r in dedup.dedup_clusters(pairs).collect()}
     assert out == {lo: lo, hi: lo, -5: lo}
+
+
+def test_dedup_corpus_end_to_end(spark, docs):
+    """One-call corpus dedup: exact mode keeps one doc per content
+    digest; lsh_jaccard mode drops transitive near-dup clusters down to
+    their min-id canonical; survivors keep the input schema."""
+    exact = dedup.dedup_corpus(docs, method="exact")
+    ids = {r["doc_id"] for r in exact.collect()}
+    assert 1 in ids and 2 not in ids  # doc 2 is the exact dup of doc 1
+    assert {3, 4, 5, 6} <= ids  # near-dups survive exact mode
+    assert exact.columns == docs.columns
+
+    near = dedup.dedup_corpus(docs, method="lsh_jaccard", threshold=0.3)
+    near_ids = {r["doc_id"] for r in near.collect()}
+    # docs 1,2,3,6 are one near-dup cluster (exact dup + two edits over
+    # the same base) → only min id 1 survives; 4 and 5 are unrelated
+    assert near_ids == {1, 4, 5}
+
+    with pytest.raises(ValueError, match="unknown dedup method"):
+        dedup.dedup_corpus(docs, method="nope").collect()
