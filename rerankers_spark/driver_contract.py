@@ -911,13 +911,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(pairs, d)
 
 
-def _sql_dedup_clusters() -> str:
-    """DuckDB transitive-closure oracle: WITH RECURSIVE floods each
-    node's reachable-label set over the same pair graph; min per node =
-    the component's canonical id (terminates: the UNION dedups rows)."""
+def _sql_cluster_ctes(threshold: float | None = None) -> str:
+    """Shared WITH RECURSIVE body: transitive closure over the
+    lsh_then_jaccard pair graph (optionally thresholded) — floods each
+    node's reachable-label set; min per node = the component's canonical
+    id (terminates: the UNION dedups rows)."""
+    thresh = (f" WHERE jaccard >= {threshold}"
+              if threshold is not None else "")
     return f"""
-WITH RECURSIVE
-pairs AS (SELECT doc_a, doc_b FROM ({_sql_lsh_then_jaccard()})),
+pairs AS (SELECT doc_a, doc_b FROM ({_sql_lsh_then_jaccard()}){thresh}),
 edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
           UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
 reach(u, lbl) AS (
@@ -926,11 +928,42 @@ reach(u, lbl) AS (
   SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
 ),
 labels AS (SELECT u AS doc_id, min(lbl) AS cluster_id
-           FROM reach GROUP BY u)
+           FROM reach GROUP BY u)"""
+
+
+def _sql_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE
+{_sql_cluster_ctes()}
 SELECT d.doc_id,
        coalesce(l.cluster_id, d.doc_id) AS cluster_id,
        (coalesce(l.cluster_id, d.doc_id) = d.doc_id) AS keep
 FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+"""
+
+
+DEDUP_CORPUS_THRESHOLD = 0.5
+
+
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END dedup pipeline under the hash gate: documents →
+    LSH-verified Jaccard pairs ≥ 0.5 → transitive clusters → canonical
+    survivors, projected back to document rows — the exact table an
+    indexing/training stage would consume next."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.dedup_corpus(
+        d, method="lsh_jaccard",
+        threshold=DEDUP_CORPUS_THRESHOLD).select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+def _sql_dedup_corpus() -> str:
+    return f"""
+WITH RECURSIVE
+{_sql_cluster_ctes(DEDUP_CORPUS_THRESHOLD)}
+SELECT d.doc_id, d.lang, d.n_chars::BIGINT AS n_chars
+FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+WHERE coalesce(l.cluster_id, d.doc_id) = d.doc_id
 """
 
 
@@ -1468,6 +1501,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "ngram_jaccard_topk": (q_ngram_jaccard_topk, _SQL_NGRAM_JACCARD),
     "lsh_then_jaccard": (q_lsh_then_jaccard, _sql_lsh_then_jaccard()),
     "dedup_clusters": (q_dedup_clusters, _sql_dedup_clusters()),
+    "dedup_corpus": (q_dedup_corpus, _sql_dedup_corpus()),
     "dedup_fingerprint": (
         q_dedup_fingerprint,
         f"SELECT doc_id, md5(array_to_string({_SQL_TOKS}, ' ')) AS fp "
