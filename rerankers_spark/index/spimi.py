@@ -780,10 +780,31 @@ def delete_docs(spark: SparkSession, path: str,
     Each call lands in its own ``tomb_batch`` PARTITION: a full compact
     snapshots the batch set, purges those ids, and deletes exactly the
     snapshotted partitions — a delete_docs racing the compaction writes
-    a new partition that survives untouched (no lost deletes)."""
+    a new partition that survives untouched (no lost deletes).
+
+    Legacy indexes (tombstone files written before batch partitioning
+    sit at the table ROOT) are migrated first: Spark's partition
+    discovery silently DROPS root-level files once a partition directory
+    appears next to them, so appending a partitioned batch into a legacy
+    layout would resurrect every previously-deleted doc. The migration
+    rewrites the table into a ``tomb_batch=legacy`` partition before the
+    first partitioned append; while the layout is pure-legacy the read
+    is still correct (explicit schema, missing column → NULL)."""
     import uuid
 
     paths = IndexPaths(path)
+    if paths.exists(spark, "tombstones"):
+        legacy = paths.read(spark, "tombstones") \
+            .where(F.col("tomb_batch").isNull())
+        if not legacy.isEmpty():
+            rows = [r["doc_id"] for r in
+                    paths.read(spark, "tombstones").select("doc_id")
+                    .distinct().collect()]
+            paths.write(
+                spark.createDataFrame([(int(d), "legacy") for d in rows],
+                                      "doc_id long, tomb_batch string"),
+                "tombstones", mode="overwrite",
+                partition_by=["tomb_batch"])
     batch = f"{time.time_ns():x}-{uuid.uuid4().hex[:8]}"
     paths.write(
         doc_ids.select(F.col("doc_id").cast("long")).distinct()
@@ -1138,7 +1159,13 @@ def gc_retired(spark: SparkSession, path: str,
         return []
     cat = paths.catalog(spark)
     for r in due:
-        cat.delete_partitions(r["tbl"], r["part_col"], [r["part_val"]])
+        # ledger stores part_val as string; int-typed partition columns
+        # (shard_id, gen) go back to ints so the Iceberg DELETE branch
+        # emits the right literal type (parquet mode is type-agnostic)
+        v = r["part_val"]
+        if isinstance(v, str) and v.lstrip("-").isdigit():
+            v = int(v)
+        cat.delete_partitions(r["tbl"], r["part_col"], [v])
     remaining = [(r["tbl"], r["part_col"], r["part_val"], r["gen"],
                   r["retired_at"]) for r in rows
                  if float(r["retired_at"]) > cutoff]

@@ -444,8 +444,11 @@ def dedup_corpus(docs: DataFrame, method: str = "lsh_jaccard",
             F.col("keep_doc_id").alias(id_col))
         return docs.join(keep, id_col, "left_semi")
     if method == "lsh_jaccard":
+        # threshold on the ROUNDED similarity (CLAUDE.md cross-engine
+        # invariant): the DuckDB oracle sees round(jaccard, 6), and a
+        # raw-double cut could keep/drop boundary pairs differently
         pairs = lsh_then_jaccard(docs, text_col, id_col).where(
-            F.col("jaccard") >= threshold)
+            F.round(F.col("jaccard"), 6) >= threshold)
     elif method == "simhash":
         pairs = simhash_near_pairs(
             docs, max_hamming=int(round((1.0 - threshold) * 32)),

@@ -39,15 +39,21 @@ class Engine:
         # (invalidated by delete()/refresh()); dropped handles are
         # reclaimed by Spark's ContextCleaner once unreferenced.
         self._tomb_bc = "stale"
-        # cached keep-list broadcasts, keyed on the doc_filter's SEMANTIC
+        # cached keep-list entries, keyed on the doc_filter's SEMANTIC
         # fingerprint (semanticHash + sameSemantics — two logically-equal
         # plans share one entry): a long-lived Engine serving repeated
-        # filtered searches collects + ships the sorted id array once,
-        # not per call (an ~80 MB array at KEEP_BROADCAST_CAP). The key
-        # covers the filter PLAN, not its input bytes — refresh() drops
-        # the cache, so re-create/refresh the Engine if the filter's
-        # source table itself changed in place.
-        self._keep_bc_cache: dict[int, tuple[DataFrame, object]] = {}
+        # filtered searches runs the size probe AND collects + ships the
+        # sorted id array once, not per call (an ~80 MB array at
+        # KEEP_BROADCAST_CAP). Bounded LRU (KEEP_CACHE_MAX): an evicted
+        # entry is simply dropped — Spark's ContextCleaner reclaims the
+        # unreferenced broadcast; no destroy(), which could fail a query
+        # still holding the handle. The key covers the filter PLAN, not
+        # its input bytes — refresh() drops the cache, so re-create/
+        # refresh the Engine if the filter's source table itself changed
+        # in place.
+        from collections import OrderedDict
+
+        self._keep_bc_cache: "OrderedDict[int, tuple]" = OrderedDict()
 
     def refresh(self) -> None:
         if self._termstats is not None:
@@ -56,7 +62,7 @@ class Engine:
         self._termstats = None
         self._blocks = None
         self._tomb_bc = "stale"
-        self._keep_bc_cache = {}
+        self._keep_bc_cache.clear()
 
     def delete(self, doc_ids: DataFrame) -> None:
         """Soft-delete docs from the index (tombstones; see
@@ -146,23 +152,39 @@ class Engine:
                 if tomb is not None else None)
         return self._meta, self._termstats, self._blocks
 
-    def _keep_broadcast(self, doc_filter: DataFrame):
-        """Sorted-keep-array Broadcast for a doc_filter, cached per
-        filter SEMANTICS (see __init__) — same pattern as the tombstone
-        cache."""
+    #: distinct doc_filter semantics kept in the Engine's keep cache —
+    #: each entry can pin an ~80 MB broadcast, so the cache is a small
+    #: LRU, not unbounded (a per-tenant serving loop cycles hundreds of
+    #: distinct filters through one Engine).
+    KEEP_CACHE_MAX = 8
+
+    def _keep_entry(self, doc_filter: DataFrame):
+        """(keep_mode, keep_bc) for a doc_filter, cached per filter
+        SEMANTICS (see __init__). A cache hit skips BOTH per-call jobs:
+        the size probe (a scan of up to CAP+1 filter rows) and the
+        collect + broadcast of the sorted id array."""
         import numpy as np
 
         h = doc_filter.semanticHash()
         got = self._keep_bc_cache.get(h)
         if got is not None and doc_filter.sameSemantics(got[0]):
-            return got[1]
-        arr = np.array(
-            [r["doc_id"] for r in doc_filter.select("doc_id")
-             .distinct().collect()], dtype=np.int64)
-        arr.sort()
-        bc = self.spark.sparkContext.broadcast(arr)
-        self._keep_bc_cache[h] = (doc_filter, bc)
-        return bc
+            self._keep_bc_cache.move_to_end(h)
+            return got[1], got[2]
+        probe = (doc_filter.select("doc_id")
+                 .limit(self.KEEP_BROADCAST_CAP + 1).count())
+        if probe > self.KEEP_BROADCAST_CAP:
+            mode, bc = "bucketed", None
+        else:
+            arr = np.array(
+                [r["doc_id"] for r in doc_filter.select("doc_id")
+                 .distinct().collect()], dtype=np.int64)
+            arr.sort()
+            mode, bc = "broadcast", self.spark.sparkContext.broadcast(arr)
+        self._keep_bc_cache[h] = (doc_filter, mode, bc)
+        self._keep_bc_cache.move_to_end(h)
+        while len(self._keep_bc_cache) > self.KEEP_CACHE_MAX:
+            self._keep_bc_cache.popitem(last=False)
+        return mode, bc
 
     @classmethod
     def build(cls, spark: SparkSession, corpus: DataFrame, index_path: str,
@@ -222,12 +244,7 @@ class Engine:
         keep_mode = "broadcast"
         keep_bc = None
         if doc_filter is not None and mode in ("bmw", "auto"):
-            probe = (doc_filter.select("doc_id")
-                     .limit(self.KEEP_BROADCAST_CAP + 1).count())
-            if probe > self.KEEP_BROADCAST_CAP:
-                keep_mode = "bucketed"
-            else:
-                keep_bc = self._keep_broadcast(doc_filter)
+            keep_mode, keep_bc = self._keep_entry(doc_filter)
         if mode == "bmw":
             meta, termstats, blocks = self._handles()
             return bmw.bmw_topk(self.spark, queries, self.paths, k=k,

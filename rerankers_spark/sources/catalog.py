@@ -102,7 +102,12 @@ class Catalog:
         if not values:
             return
         if self.catalog_name:
-            in_list = ", ".join(str(v) for v in values)
+            # string partition values (e.g. tomb_batch) must be quoted
+            # SQL literals; ints pass through bare
+            in_list = ", ".join(
+                "'" + str(v).replace("'", "''") + "'"
+                if isinstance(v, str) else str(v)
+                for v in values)
             self.spark.sql(
                 f"DELETE FROM {self.catalog_name}.{name} "
                 f"WHERE {col} IN ({in_list})"

@@ -276,8 +276,12 @@ def test_oversized_doc_filter_routes_to_bucketed_keep(spark, engine,
                                           doc_filter=keep))
     assert modes == ["broadcast"]
 
-    # cap below the filter size → bucketed cogroup keep path
+    # cap below the filter size → bucketed cogroup keep path. The keep
+    # cache memoizes the probe OUTCOME per filter (the cap never changes
+    # at runtime), so flipping the cap mid-test requires dropping the
+    # cached entry first.
     monkeypatch.setattr(Engine, "KEEP_BROADCAST_CAP", n_keep - 1)
+    engine.refresh()
     via_bucketed = rounded(engine.search(tiny_queries, k=10, mode="bmw",
                                          doc_filter=keep))
     assert modes == ["broadcast", "bucketed"]
@@ -339,3 +343,27 @@ def test_keep_list_broadcast_cached_across_searches(spark, engine,
     eng.refresh()
     eng.search(tiny_queries, k=5, doc_filter=keep).collect()
     assert len(calls) > n_first, "refresh() did not invalidate the cache"
+
+
+def test_keep_cache_is_lru_bounded_and_caches_probe(spark, engine,
+                                                    tiny_corpus):
+    """The per-filter keep cache must (a) stay bounded at KEEP_CACHE_MAX
+    entries however many distinct filters pass through, and (b) store
+    the probe outcome so a hit re-runs neither the probe nor the
+    collect+broadcast (zero Spark jobs on a warm filter)."""
+    eng = Engine(spark, INDEX_PATH)
+    for m in range(Engine.KEEP_CACHE_MAX + 3):
+        f = tiny_corpus.select("doc_id").where(
+            F.abs(F.col("doc_id")) % 17 == m)
+        mode, bc = eng._keep_entry(f)
+        assert mode == "broadcast" and bc is not None
+    assert len(eng._keep_bc_cache) == Engine.KEEP_CACHE_MAX
+    # warm hit: no new Spark job (probe or collect) may run
+    f = tiny_corpus.select("doc_id").where(
+        F.abs(F.col("doc_id")) % 17 == Engine.KEEP_CACHE_MAX + 2)
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    mode2, bc2 = eng._keep_entry(f)
+    after = tracker.getJobIdsForGroup(None)
+    assert (mode2, bc2) == (mode, bc)
+    assert before == after, "cache hit ran a Spark job"
