@@ -484,9 +484,17 @@ def build_index(
         # bare-existence must not be trusted as a checkpoint.
     if n_docs is None:
         obs = Observation("corpus_totals")
+        # repartition("shard_id") BEFORE the partitioned write: without
+        # it every write task opens a writer per shard dir (width ×
+        # n_shards small files — measured +10 s at 800k docs/local[8]
+        # and a small-file tax on every later docstats scan); with it
+        # each task owns whole shards and writes one file per dir. The
+        # observe node sits upstream of the exchange, so totals are
+        # collected in the same single pass.
         paths.write(
             dt.observe(obs, F.count(F.lit(1)).alias("n"),
-                       F.sum("dl").alias("sum_dl")),
+                       F.sum("dl").alias("sum_dl"))
+            .repartition("shard_id"),
             "docstats", mode="overwrite", partition_by=["shard_id"])
         n_docs = int(obs.get["n"])
         sum_dl = int(obs.get["sum_dl"] or 0)  # 0-doc corpus: sum is NULL
@@ -707,7 +715,8 @@ def append_index(
     obs = Observation(f"append_totals_{gen}")
     paths.write(
         dt.observe(obs, F.count(F.lit(1)).alias("n"),
-                   F.sum("dl").alias("sum_dl")),
+                   F.sum("dl").alias("sum_dl"))
+        .repartition("shard_id"),  # one writer per shard dir (see build)
         "docstats", mode="append", partition_by=["shard_id"])
     batch_n, batch_sum = int(obs.get["n"]), int(obs.get["sum_dl"] or 0)
     prev_sum = int(meta.get("sum_dl") or
@@ -1016,8 +1025,9 @@ def compact_index(spark: SparkSession, path: str,
         sum_dl = int(meta.get("sum_dl") or
                      round(float(meta["avgdl"]) * n_docs))
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
-    paths.write(paths.read(spark, "compact_docstats"), "docstats",
-                mode="append", partition_by=["shard_id"])
+    paths.write(paths.read(spark, "compact_docstats")
+                .repartition("shard_id"),  # one writer per shard dir
+                "docstats", mode="append", partition_by=["shard_id"])
 
     attr_mode = bool(meta.get("attr_col"))
     attr_sel = ["attr"] if attr_mode else []
