@@ -484,18 +484,22 @@ def build_index(
         # bare-existence must not be trusted as a checkpoint.
     if n_docs is None:
         obs = Observation("corpus_totals")
+        observed = dt.observe(obs, F.count(F.lit(1)).alias("n"),
+                              F.sum("dl").alias("sum_dl"))
         # repartition("shard_id") BEFORE the partitioned write: without
         # it every write task opens a writer per shard dir (width ×
         # n_shards small files — measured +10 s at 800k docs/local[8]
         # and a small-file tax on every later docstats scan); with it
         # each task owns whole shards and writes one file per dir. The
-        # observe node sits upstream of the exchange, so totals are
-        # collected in the same single pass.
-        paths.write(
-            dt.observe(obs, F.count(F.lit(1)).alias("n"),
-                       F.sum("dl").alias("sum_dl"))
-            .repartition("shard_id"),
-            "docstats", mode="overwrite", partition_by=["shard_id"])
+        # observe node sits upstream of the exchange, so totals come
+        # from the same single pass — EXCEPT on an empty input, where
+        # AQE's empty-plan propagation drops the CollectMetrics row and
+        # obs.get raises (reproduced on this Spark); the bounded
+        # isEmpty probe skips the exchange for that case only.
+        if not corpus.isEmpty():
+            observed = observed.repartition("shard_id")
+        paths.write(observed, "docstats", mode="overwrite",
+                    partition_by=["shard_id"])
         n_docs = int(obs.get["n"])
         sum_dl = int(obs.get["sum_dl"] or 0)  # 0-doc corpus: sum is NULL
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
@@ -713,11 +717,14 @@ def append_index(
         token_count_pandas_udf(F.col("content")).alias("dl"),
     )
     obs = Observation(f"append_totals_{gen}")
-    paths.write(
-        dt.observe(obs, F.count(F.lit(1)).alias("n"),
-                   F.sum("dl").alias("sum_dl"))
-        .repartition("shard_id"),  # one writer per shard dir (see build)
-        "docstats", mode="append", partition_by=["shard_id"])
+    observed = dt.observe(obs, F.count(F.lit(1)).alias("n"),
+                          F.sum("dl").alias("sum_dl"))
+    if not new_corpus.isEmpty():
+        # one writer per shard dir (see build_index; skipped on an empty
+        # batch, where the exchange would drop the observation row)
+        observed = observed.repartition("shard_id")
+    paths.write(observed, "docstats", mode="append",
+                partition_by=["shard_id"])
     batch_n, batch_sum = int(obs.get["n"]), int(obs.get["sum_dl"] or 0)
     prev_sum = int(meta.get("sum_dl") or
                    round(float(meta["avgdl"]) * int(meta["n_docs"])))
