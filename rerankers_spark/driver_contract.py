@@ -991,25 +991,143 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """
 
 
+# ---- ANN contract parameters (FROZEN — oracles inline these) ---------------
+# The LSH hyperplanes and the IVF coarse quantizer are seeded literal
+# models: deterministic functions of (dim, seed) only, exactly like the
+# frozen BM25 constants, so both approximate-ANN queries are pure
+# functions of (corpus, constants) and sit under the DuckDB hash gate.
+# Approximation QUALITY (recall ≥ 0.8 @10 at these parameters) is
+# enforced by tests/test_ann_textstats.py, not by the equality oracle.
+EMB_DIM = 64
+LSH_ANN_PLANES = 4
+LSH_ANN_TABLES = 16
+LSH_ANN_BUCKET_CAP = 100_000  # mirrored in the oracle's QUALIFY guard
+IVF_CONTRACT_K = 16
+IVF_CONTRACT_SEED = 7
+IVF_CONTRACT_NPROBE = 8
+
+
+def _ivf_contract_centroids() -> list[list[float]]:
+    return ann.seed_centroids(dim=EMB_DIM, k=IVF_CONTRACT_K,
+                              seed=IVF_CONTRACT_SEED)
+
+
+def _sql_dlist(vals) -> str:
+    """A python float list as a DuckDB DOUBLE[] literal (repr keeps the
+    full 17 significant digits, so both engines parse the same double)."""
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN (rows-only check: recall<1 by design, no exact
-    SQL oracle)."""
+    """Hyperplane-LSH ANN under the hash gate: candidates from 16
+    seeded hyperplane tables (union), exact rounded-cosine re-scoring,
+    frozen tie-break. The oracle re-derives the same signatures from the
+    same plane literals; the bucket cap is mirrored in SQL."""
     e = ann.with_double_vec(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     q = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_vec_id"), "vec")
-    return ann.lsh_cosine_topk(q, e, k=10, n_planes=4, dim=64,
-                               n_tables=16)
+    return ann.lsh_cosine_topk(
+        q, e, k=10, n_planes=LSH_ANN_PLANES, dim=EMB_DIM,
+        n_tables=LSH_ANN_TABLES, max_bucket_size=LSH_ANN_BUCKET_CAP)
+
+
+def _sql_lsh_ann_topk() -> str:
+    """DuckDB mirror of q_lsh_ann_topk: per-table sign-bit signatures
+    over the SAME seeded hyperplane literals (ann.hyperplanes, seeds
+    42+t), item-side bucket cap, union of bucket matches, rounded cosine
+    top-10 with (cosine desc, vec_id asc)."""
+    per_table = []
+    for t in range(LSH_ANN_TABLES):
+        planes = ann.hyperplanes(EMB_DIM, LSH_ANN_PLANES, seed=42 + t)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(vec, {_sql_dlist(p)}) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j, p in enumerate(planes)
+        )
+        per_table.append(f"SELECT vec_id, {t} AS tbl, {bits} AS sig FROM e")
+    sig_union = "\nUNION ALL\n".join(per_table)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+sigs AS ({sig_union}),
+isig AS (SELECT vec_id, tbl, sig FROM sigs
+         QUALIFY count(*) OVER (PARTITION BY tbl, sig)
+                 <= {LSH_ANN_BUCKET_CAP}),
+qsig AS (SELECT vec_id AS query_vec_id, tbl, sig FROM sigs
+         WHERE vec_id < 5),
+pairs AS (SELECT DISTINCT q.query_vec_id, i.vec_id
+          FROM qsig q JOIN isig i USING (tbl, sig)
+          WHERE q.query_vec_id <> i.vec_id),
+scored AS (
+  SELECT p.query_vec_id, p.vec_id,
+         round(list_dot_product(qe.vec, ie.vec)
+           / (sqrt(list_dot_product(qe.vec, qe.vec))
+              * sqrt(list_dot_product(ie.vec, ie.vec))), 6) AS cosine
+  FROM pairs p
+  JOIN e qe ON qe.vec_id = p.query_vec_id
+  JOIN e ie ON ie.vec_id = p.vec_id)
+SELECT query_vec_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_vec_id
+            ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
+WHERE rank <= 10
+"""
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (rows-only: centroids from driver-side k-means)."""
+    """IVF ANN under the hash gate: a FROZEN seeded coarse quantizer
+    (the trained-artifact input of a real IVF deployment — fitting is
+    covered by the k-means tests and embedding_centroids), rounded-L2
+    probe selection with centroid-index tie-break, rounded-cosine
+    re-scoring within the probed cells."""
     e = ann.with_double_vec(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
-    cents = ann.kmeans_centroids(e, n_centroids=16, dim=64)
     q = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_vec_id"), "vec")
-    return ann.ivf_topk(q, e, cents, k=10, nprobe=8)
+    return ann.ivf_topk(q, e, _ivf_contract_centroids(), k=10,
+                        nprobe=IVF_CONTRACT_NPROBE)
+
+
+def _sql_ivf_ann_topk() -> str:
+    """DuckDB mirror of q_ivf_ann_topk: the same centroid literals,
+    assignment = first minimum of ROUNDED squared L2 (cell-index
+    tie-break), nprobe nearest cells per query, rounded cosine top-10."""
+    cents = _ivf_contract_centroids()
+    cent_rows = ",\n".join(
+        f"({i}, {_sql_dlist(c)}::DOUBLE[])" for i, c in enumerate(cents))
+    dist = (f"round(list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+            "j -> (vec[j] - cvec[j]) ** 2)), 6)")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+cent(cell, cvec) AS (VALUES {cent_rows}),
+iass AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {dist} ASC, c.cell ASC) AS rn
+    FROM e, cent c) WHERE rn = 1),
+probe AS (
+  SELECT query_vec_id, cell FROM (
+    SELECT e.vec_id AS query_vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {dist} ASC, c.cell ASC) AS rn
+    FROM e, cent c WHERE e.vec_id < 5)
+  WHERE rn <= {IVF_CONTRACT_NPROBE}),
+cand AS (SELECT DISTINCT p.query_vec_id, i.vec_id
+         FROM probe p JOIN iass i USING (cell)
+         WHERE p.query_vec_id <> i.vec_id),
+scored AS (
+  SELECT c.query_vec_id, c.vec_id,
+         round(list_dot_product(qe.vec, ie.vec)
+           / (sqrt(list_dot_product(qe.vec, qe.vec))
+              * sqrt(list_dot_product(ie.vec, ie.vec))), 6) AS cosine
+  FROM cand c
+  JOIN e qe ON qe.vec_id = c.query_vec_id
+  JOIN e ie ON ie.vec_id = c.vec_id)
+SELECT query_vec_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_vec_id
+            ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
+WHERE rank <= 10
+"""
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1041,12 +1159,14 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_vec_id"), "vec")
     exact = ann.cosine_topk(q, e, k=10).select("query_vec_id", "vec_id")
-    cents = ann.kmeans_centroids(e, n_centroids=16, dim=64)
     approx = (
-        ann.lsh_cosine_topk(q, e, k=10, n_planes=4, dim=64, n_tables=16)
+        ann.lsh_cosine_topk(q, e, k=10, n_planes=LSH_ANN_PLANES,
+                            dim=EMB_DIM, n_tables=LSH_ANN_TABLES,
+                            max_bucket_size=LSH_ANN_BUCKET_CAP)
         .select(F.lit("lsh").alias("method"), "query_vec_id", "vec_id")
         .unionByName(
-            ann.ivf_topk(q, e, cents, k=10, nprobe=8)
+            ann.ivf_topk(q, e, _ivf_contract_centroids(), k=10,
+                         nprobe=IVF_CONTRACT_NPROBE)
             .select(F.lit("ivf").alias("method"), "query_vec_id", "vec_id"))
     )
     n_exact = 5 * 10
@@ -1059,14 +1179,54 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column feature extraction (rows-only: stubbed decoder;
-    deterministic synthetic media, sf_dir unused)."""
+    """The FEATURE half of the multimodal path, under the hash gate: the
+    stub feature is sha256(payload)[:16]/255 as float32
+    (sources/multimodal.py:46-53) — an exact function of the payload, so
+    every vector element is DuckDB-recomputable from the hex digest.
+    Each float32 element is projected back to its defining byte
+    (round(x·255) is an exact inverse at float32 precision — |err| ≤
+    n·2⁻²⁴·255 < 0.5) and posexploded, sidestepping cross-engine float32
+    hashing while gating every element the mapInPandas UDF produced.
+    Payloads derive from documents.text like multimodal_metadata, which
+    gates the n_bytes/sha256 half on the same extractor."""
     from rerankers_spark.sources import multimodal
 
-    media = multimodal.synthetic_media(spark, 24)
-    return multimodal.extract_features(media).select(
-        "doc_id", "media_type", "n_bytes", "payload_sha256", "decoder"
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.abs(F.col("doc_id")) % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.create_map().cast("map<string,string>").alias("meta"),
     )
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "doc_id", "media_type", "n_bytes", "payload_sha256", "decoder",
+        F.posexplode(
+            F.transform(F.col("feature").cast("array<double>"),
+                        lambda x: F.round(x * 255.0, 0).cast("int"))
+        ).alias("pos", "byte_val"),
+    )
+
+
+_SQL_MULTIMODAL_FEATURES = """
+WITH hx AS (
+  SELECT doc_id,
+         CASE abs(doc_id) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         octet_length(encode(text))::BIGINT AS n_bytes,
+         sha256(text) AS h
+  FROM documents)
+SELECT doc_id, media_type, n_bytes, h AS payload_sha256,
+       'stub' AS decoder, t.range::INT AS pos,
+       CAST((strpos('0123456789abcdef', substr(h, 2 * t.range + 1, 1)) - 1)
+              * 16
+            + (strpos('0123456789abcdef', substr(h, 2 * t.range + 2, 1)) - 1)
+            AS INT) AS byte_val
+FROM hx, range(0, 16) t
+"""
 
 
 def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1490,11 +1650,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "bm25_topk_tiered": (q_bm25_topk_tiered, _SQL_BM25_TOPK),
     "lsh_candidate_pairs": (q_lsh_candidate_pairs, _sql_lsh_pairs()),
     "simhash_near_pairs": (q_simhash_near_pairs, _sql_simhash_pairs()),
-    "lsh_ann_topk": (q_lsh_ann_topk, None),
-    "ivf_ann_topk": (q_ivf_ann_topk, None),
+    "lsh_ann_topk": (q_lsh_ann_topk, _sql_lsh_ann_topk()),
+    "ivf_ann_topk": (q_ivf_ann_topk, _sql_ivf_ann_topk()),
     "ann_recall": (q_ann_recall, None),
     "embedding_near_dup": (q_embedding_near_dup, _SQL_EMBEDDING_NEAR_DUP),
-    "multimodal_features": (q_multimodal_features, None),
+    "multimodal_features": (q_multimodal_features,
+                            _SQL_MULTIMODAL_FEATURES),
     "multimodal_metadata": (q_multimodal_metadata, _SQL_MULTIMODAL_METADATA),
     "minhash_signatures": (q_minhash_signatures, _sql_minhash()),
     "simhash": (q_simhash, _sql_simhash()),

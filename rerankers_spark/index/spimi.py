@@ -320,6 +320,19 @@ class IndexPaths:
         # only by gc_retired() once older than a retention window — an
         # in-flight query planned pre-commit keeps its scan files.
         "retired": RETIRED_SCHEMA,
+        # ingest-time dedup state: per-doc fingerprint + minhash
+        # signature, PARTITIONED by ingest_batch (one partition per
+        # micro-batch; replay = delete-own-partition + re-append, so the
+        # streaming path stays exactly-once). Not a generation table —
+        # compaction never touches it. Must equal
+        # operators/dedup.DEDUP_STATE_SCHEMA (literal here to keep the
+        # index layer free of operator imports; equality is pinned by
+        # tests/test_streaming_dedup.py).
+        "dedup_state": (
+            "doc_id long, fp string, "
+            "mh0 long, mh1 long, mh2 long, mh3 long, "
+            "mh4 long, mh5 long, mh6 long, mh7 long, "
+            "ingest_batch string"),
     }
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
@@ -1165,7 +1178,14 @@ def gc_retired(spark: SparkSession, path: str,
     ledger. Call from the single maintenance writer (Engine.maintain /
     maintain_index_job) on a schedule; retention should exceed the
     longest expected query. Returns the (tbl, part_col, part_val) tuples
-    it deleted."""
+    it deleted.
+
+    SINGLE-WRITER REQUIRED: the ledger shrink is a read-collect-
+    overwrite — a compaction appending retirement rows between the read
+    and the overwrite would have those rows silently dropped (disk leak,
+    never wrong answers). Engine.maintain and maintain_index_job already
+    serialize compaction and GC on one thread; do not run gc_retired
+    concurrently with a compacting writer from elsewhere."""
     paths = IndexPaths(path)
     if not paths.exists(spark, "retired"):
         return []

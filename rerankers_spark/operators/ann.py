@@ -17,12 +17,52 @@ survive scale-up and DuckDB can mirror the exact semantics for oracles.
 
 from __future__ import annotations
 
-import math
+import logging
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from rerankers_spark.operators.topk import topk
+
+log = logging.getLogger(__name__)
+
+#: Default degenerate-bucket guard for the hyperplane-LSH paths. A
+#: (table, sig) bucket of m members yields O(m²) candidate pairs — a
+#: near-constant embedding column (broken encoder, boilerplate corpus)
+#: would otherwise put a large fraction of the corpus into ONE bucket
+#: and the candidate join goes quadratic. Same rationale as
+#: dedup.lsh_candidate_pairs' max_bucket_size (operators/dedup.py).
+LSH_MAX_BUCKET_SIZE = 100_000
+
+
+def _cap_buckets(df: DataFrame, keys, max_bucket_size: int,
+                 diagnostics: dict | None = None) -> DataFrame:
+    """Drop rows in degenerate LSH buckets (> max_bucket_size members).
+
+    diagnostics: optional dict — when given, ``diagnostics["dropped"]``
+    is set to a LAZY one-row DataFrame (dropped_buckets, dropped_rows)
+    the caller can trigger for the no-silent-caps report. A separate
+    bounded aggregation (groupBy keys → map-side-combined counts), NOT
+    an ``observe`` metric: Spark's CollectMetrics node is
+    nondeterministically lost under AQE replanning (reproduced on this
+    Spark — an observed query returned an empty metrics row ~half the
+    runs), and disabling AQE is not an option on the 100-TB paths."""
+    sized = df.withColumn(
+        "__bucket_n", F.count("*").over(Window.partitionBy(*keys)))
+    if diagnostics is not None:
+        diagnostics["dropped"] = (
+            df.groupBy(*keys)
+            .agg(F.count("*").alias("__bucket_n"))
+            .where(F.col("__bucket_n") > max_bucket_size)
+            .agg(F.coalesce(F.count("*"), F.lit(0))
+                 .alias("dropped_buckets"),
+                 F.coalesce(F.sum("__bucket_n"), F.lit(0))
+                 .alias("dropped_rows"))
+        )
+    log.info("LSH bucket cap: dropping buckets over %d members",
+             max_bucket_size)
+    return sized.where(F.col("__bucket_n") <= max_bucket_size) \
+        .drop("__bucket_n")
 
 
 def _dot(a, b):
@@ -103,6 +143,8 @@ def lsh_cosine_topk(
     n_tables: int = 4,
     query_id: str = "query_vec_id",
     item_id: str = "vec_id",
+    max_bucket_size: int = LSH_MAX_BUCKET_SIZE,
+    diagnostics: dict | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: exact re-scoring over the UNION of
     same-bucket candidates across ``n_tables`` independent hyperplane
@@ -111,7 +153,12 @@ def lsh_cosine_topk(
 
     Plan shape: the signature columns for all tables are computed in ONE
     pass over each side (no per-table rescan), candidates arrive via a
-    posexplode of the signature array joined on (table, sig)."""
+    posexplode of the signature array joined on (table, sig). Item-side
+    (table, sig) buckets larger than ``max_bucket_size`` are dropped
+    entirely (quadratic-blowup guard; ``diagnostics`` receives the lazy
+    dropped-count report, see _cap_buckets) — a degenerate bucket
+    contributes noise, not recall, and at corpus scale it contributes a
+    full-shuffle join."""
     q = queries.select(query_id, F.col("vec").alias("qvec"))
     it = items.select(item_id, F.col("vec").alias("ivec"))
     q_sigs, i_sigs = [], []
@@ -126,9 +173,11 @@ def lsh_cosine_topk(
     qs = q.select(
         query_id, "qvec",
         F.posexplode(F.array(*q_sigs)).alias("table", "sig"))
-    its = it.select(
-        item_id, "ivec",
-        F.posexplode(F.array(*i_sigs)).alias("table", "sig"))
+    its = _cap_buckets(
+        it.select(
+            item_id, "ivec",
+            F.posexplode(F.array(*i_sigs)).alias("table", "sig")),
+        ("table", "sig"), max_bucket_size, diagnostics)
     cand = (
         its.join(F.broadcast(qs), ["table", "sig"])
         .where(F.col(query_id) != F.col(item_id))
@@ -152,6 +201,8 @@ def cosine_near_dup_pairs(
     n_planes: int = 4,
     dim: int = 64,
     n_tables: int = 8,
+    max_bucket_size: int = LSH_MAX_BUCKET_SIZE,
+    diagnostics: dict | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, cosine): embedding-cosine near-duplicate pairs —
     the embedding leg of the dedup suite (exact/minhash/simhash/jaccard
@@ -159,9 +210,11 @@ def cosine_near_dup_pairs(
 
     mode='lsh' (the 100-TB path): candidates only from multi-table
     hyperplane buckets, then exact re-scoring ≥ threshold — recall < 1
-    by design, rising with n_tables. mode='exact': broadcast cross join,
-    the all-pairs oracle shape (only for corpora whose smaller side fits
-    a broadcast)."""
+    by design, rising with n_tables. Buckets over ``max_bucket_size``
+    are dropped (the m² guard, same as dedup.lsh_candidate_pairs;
+    ``diagnostics`` receives the lazy dropped-count report).
+    mode='exact': broadcast cross join, the all-pairs oracle shape (only
+    for corpora whose smaller side fits a broadcast)."""
     a = items.select(F.col(item_id).alias("doc_a"),
                      F.col("vec").alias("avec"))
     b = items.select(F.col(item_id).alias("doc_b"),
@@ -178,8 +231,12 @@ def cosine_near_dup_pairs(
         sigs = [f"sig{t}" for t in range(n_tables)]
         ax = a.select("doc_a", "avec",
                       F.posexplode(F.array(*sigs)).alias("table", "sig"))
-        bx = b.select("doc_b", "bvec",
-                      F.posexplode(F.array(*sigs)).alias("table", "sig"))
+        bx = _cap_buckets(
+            b.select("doc_b", "bvec",
+                     F.posexplode(F.array(*sigs)).alias("table", "sig")),
+            ("table", "sig"), max_bucket_size, diagnostics)
+        # capping ONE side suffices: both sides explode the same corpus,
+        # so a dropped (table, sig) bucket joins to nothing
         cand = bx.join(ax, ["table", "sig"]) \
             .dropDuplicates(["doc_a", "doc_b"])
     else:
@@ -279,36 +336,78 @@ def kmeans_centroids_distributed(
             assigned.select("cell",
                             F.posexplode(F.col("__v")).alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .agg(F.sum("x").alias("s"), F.count("x").alias("n"))
             .collect()
         )
         sums = np.zeros((k, dim), dtype=np.float64)
-        counts = np.zeros(k, dtype=np.int64)
+        # counts kept per (cell, pos), not per cell: a NULL element or a
+        # ragged vector makes F.sum skip the value while a per-cell
+        # count('*') would still count it — dividing elementwise keeps
+        # every centroid dimension an honest mean of its observed values
+        counts = np.zeros((k, dim), dtype=np.int64)
         for r in rows:
             sums[int(r["cell"]), int(r["pos"])] = float(r["s"])
-            counts[int(r["cell"])] = int(r["n"])
+            counts[int(r["cell"]), int(r["pos"])] = int(r["n"])
         nonempty = counts > 0
-        cents[nonempty] = sums[nonempty] / counts[nonempty, None]
+        cents = np.where(nonempty, np.divide(
+            sums, counts, out=np.zeros_like(sums), where=nonempty), cents)
     return cents.tolist()
 
 
-def ivf_assign(df: DataFrame, centroids: list[list[float]],
-               vec_col: str = "vec") -> DataFrame:
-    """Adds ``cell`` — nearest-centroid id (L2), computed natively."""
-    dists = [
-        F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(float(x)) for x in c]),
-                lambda a, b: (a - b) * (a - b),
-            ),
+def seed_centroids(dim: int, k: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic seeded centroids — a FROZEN coarse-quantizer model.
+
+    In a real IVF deployment the quantizer is a trained artifact shipped
+    with the index, an *input* to the query, not part of it; freezing it
+    to a seed makes the whole IVF query a pure function of (corpus,
+    constants), so DuckDB oracles can inline the literal matrix exactly
+    like the frozen BM25 constants. Fitting a quantizer from data is
+    :func:`kmeans_centroids` / :func:`kmeans_centroids_distributed`."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((k, dim)).tolist()
+
+
+def _centroid_lit(centroids: list[list[float]]):
+    """The k×dim centroid matrix as ONE nested-array Literal node. A
+    per-centroid expression list codegens k separate aggregates and
+    Catalyst falls over long before the k≈√N of a realistic IVF; a
+    single literal keeps the plan O(1) in k and the distance loop runs
+    at execution time via ``transform``."""
+    return F.lit([[float(x) for x in c] for c in centroids])
+
+
+def _l2_dists(vec_col, centroids: list[list[float]], round_to=None):
+    """array<double> of squared-L2 distances to every centroid, computed
+    by a runtime transform over the literal matrix (plan size O(1) in k).
+    Sequential fold per centroid keeps float math mirrorable in SQL."""
+    dists = F.transform(
+        _centroid_lit(centroids),
+        lambda c: F.aggregate(
+            F.zip_with(F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+                       c, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-        for c in centroids
-    ]
-    arr = F.array(*dists)
-    cell = F.array_position(arr, F.array_min(arr)) - 1
+        ),
+    )
+    if round_to is not None:
+        dists = F.transform(dists, lambda d: F.round(d, round_to))
+    return dists
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]],
+               vec_col: str = "vec", round_to: int | None = None
+               ) -> DataFrame:
+    """Adds ``cell`` — nearest-centroid id (squared L2, first-minimum tie
+    rule), computed natively with an O(1)-in-k plan (see _centroid_lit).
+
+    round_to: round distances before the argmin — the cross-engine
+    determinism rule (rank on ROUNDED scores, CLAUDE.md) for
+    oracle-gated query paths. None (default) keeps exact float distances:
+    the k-means training loop must mirror numpy's unrounded argmin."""
+    dists = _l2_dists(vec_col, centroids, round_to)
+    cell = F.array_position(dists, F.array_min(dists)) - 1
     return df.withColumn("cell", cell.cast("int"))
 
 
@@ -320,41 +419,37 @@ def ivf_topk(
     nprobe: int = 4,
     query_id: str = "query_vec_id",
     item_id: str = "vec_id",
+    round_to: int | None = 6,
 ) -> DataFrame:
     """IVF-style ANN: items pre-assigned to cells; each query probes its
-    nprobe nearest cells, exact cosine within."""
+    nprobe nearest cells, exact cosine within.
+
+    Both the assignment and the probe ordering use ROUNDED squared-L2
+    with an explicit centroid-index tie-break — deterministic across
+    engines (the rank-on-rounded invariant), so a frozen-centroid IVF
+    query sits under the DuckDB hash gate. Plan size is O(1) in the
+    number of centroids (see _centroid_lit)."""
     its = ivf_assign(
-        items.select(item_id, F.col("vec").alias("ivec")), centroids, "ivec"
+        items.select(item_id, F.col("vec").alias("ivec")), centroids,
+        "ivec", round_to=round_to,
     )
-    dists = [
-        (
-            i,
-            F.aggregate(
-                F.zip_with(
-                    F.col("qvec"),
-                    F.array(*[F.lit(float(x)) for x in c]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-        for i, c in enumerate(centroids)
-    ]
-    cells = F.slice(
+    probe = F.slice(
         F.expr(
             "transform(array_sort(arrays_zip(dists, cells), "
             "(l, r) -> case when l.dists < r.dists then -1 "
-            "when l.dists > r.dists then 1 else 0 end), x -> x.cells)"
+            "when l.dists > r.dists then 1 "
+            "when l.cells < r.cells then -1 "
+            "when l.cells > r.cells then 1 else 0 end), x -> x.cells)"
         ),
         1,
         nprobe,
     )
     qs = (
         queries.select(query_id, F.col("vec").alias("qvec"))
-        .withColumn("dists", F.array(*[d for _, d in dists]))
-        .withColumn("cells", F.array(*[F.lit(i) for i, _ in dists]))
-        .withColumn("probe_cells", cells)
+        .withColumn("dists", _l2_dists("qvec", centroids, round_to))
+        .withColumn(
+            "cells", F.sequence(F.lit(0), F.lit(len(centroids) - 1)))
+        .withColumn("probe_cells", probe)
         .select(query_id, "qvec",
                 F.explode("probe_cells").alias("cell"))
     )

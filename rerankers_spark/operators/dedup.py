@@ -118,15 +118,30 @@ def lsh_bands(signatures: DataFrame, n_perm: int = N_PERM,
 
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
-                        max_bucket_size: int = 1000) -> DataFrame:
+                        max_bucket_size: int = 1000,
+                        diagnostics: dict | None = None) -> DataFrame:
     """(doc_a, doc_b, n_bands_matched, est_jaccard): pairs sharing ≥1 LSH
     band bucket; est_jaccard = matching minhash fraction.
 
     max_bucket_size drops degenerate buckets (scale guard: a bucket of
-    size m yields m² pairs — cap it and log the drop, don't explode).
-    """
+    size m yields m² pairs — cap it, don't explode). diagnostics, when
+    given, receives ``diagnostics["dropped"]`` — a lazy one-row
+    (dropped_buckets, dropped_rows) DataFrame for the no-silent-caps
+    report (same contract as operators/ann._cap_buckets; a separate
+    bounded aggregation, not an ``observe`` metric, which AQE loses
+    nondeterministically on join plans)."""
     sigs = minhash_signatures(docs, text_col, id_col).cache()
     bands = lsh_bands(sigs)
+    if diagnostics is not None:
+        diagnostics["dropped"] = (
+            bands.groupBy("band", "band_key")
+            .agg(F.count("*").alias("bucket_n"))
+            .where(F.col("bucket_n") > max_bucket_size)
+            .agg(F.coalesce(F.count("*"), F.lit(0))
+                 .alias("dropped_buckets"),
+                 F.coalesce(F.sum("bucket_n"), F.lit(0))
+                 .alias("dropped_rows"))
+        )
     sized = bands.withColumn(
         "bucket_n", F.count("*").over(
             Window.partitionBy("band", "band_key"))
@@ -336,7 +351,9 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                          b_col: str = "doc_b",
-                         max_rounds: int = 20) -> DataFrame:
+                         max_rounds: int = 20,
+                         checkpoint_dir: str | None = None,
+                         stats: dict | None = None) -> DataFrame:
     """(doc_id, cluster_id): connected components of the pair graph,
     cluster_id = min(doc_id) of the component (the frozen canonical
     tie-break).
@@ -347,23 +364,46 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     2014 Thm 2), so a 100-TB pair set converges in a handful of passes
     regardless of component diameter (plain neighbor-min propagation is
     O(diameter) — a degenerate chain of near-dups would never finish).
-    Each round is ``localCheckpoint``-ed: iterative plans otherwise grow
+    Each round is checkpointed: iterative plans otherwise grow
     exponentially and re-derive the (expensive) pair pipeline per round.
+    By default the checkpoint is ``localCheckpoint`` — blocks live only
+    on executors, so on a real cluster a lost executor makes a round's
+    edge set unrecoverable and the job must be retried from the pair
+    operator. For cluster runs pass ``checkpoint_dir`` (HDFS/S3): rounds
+    then use RELIABLE checkpoints and survive executor loss at the cost
+    of one distributed write per round.
 
     Raises RuntimeError when ``max_rounds`` is hit without a fixpoint —
     tests pin the bound on an adversarial path graph.
+
+    stats: optional dict — on return carries ``rounds`` (star rounds to
+    fixpoint, the O(log n) claim's observable) and ``n_edges`` (canonical
+    input edge count), for convergence benchmarks.
     """
-    e = _canon_edges(
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    e = _ckpt(_canon_edges(
         pairs.select(F.col(a_col).cast("long").alias("u"),
                      F.col(b_col).cast("long").alias("v"))
-    ).localCheckpoint(eager=True)
+    ))
     n_edges = e.count()
+    if stats is not None:
+        stats["n_edges"] = n_edges
+        stats["rounds"] = 0
     if n_edges == 0:
         return e.sparkSession.createDataFrame(
             [], "doc_id long, cluster_id long")
-    for _ in range(max_rounds):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+    for rnd in range(max_rounds):
+        e2 = _ckpt(_small_star(_large_star(e)))
         n2 = e2.count()
+        if stats is not None:
+            stats["rounds"] = rnd + 1
         # both sides are canonical DISTINCT sets → equal count plus empty
         # anti-join ⇔ identical edge sets (fixpoint = star forest)
         if n2 == n_edges and e2.join(e, ["u", "v"], "left_anti").isEmpty():
@@ -388,7 +428,8 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
 def dedup_clusters(pairs: DataFrame, docs: DataFrame | None = None,
                    id_col: str = "doc_id", a_col: str = "doc_a",
                    b_col: str = "doc_b",
-                   max_rounds: int = 20) -> DataFrame:
+                   max_rounds: int = 20,
+                   checkpoint_dir: str | None = None) -> DataFrame:
     """(doc_id, cluster_id, keep): actionable near-dup resolution — the
     stage after any pair operator (lsh_then_jaccard, simhash_near_pairs,
     cosine_near_dup_pairs): transitive closure of the pair graph into
@@ -399,8 +440,11 @@ def dedup_clusters(pairs: DataFrame, docs: DataFrame | None = None,
     cluster is {A,B,C} even when A≁C directly, and exactly one survives.
     docs, when given, contributes the singletons (docs in no pair keep
     themselves); otherwise only docs appearing in pairs are labeled.
+    checkpoint_dir: reliable CC round checkpoints for cluster runs (see
+    connected_components).
     """
-    cc = connected_components(pairs, a_col, b_col, max_rounds=max_rounds)
+    cc = connected_components(pairs, a_col, b_col, max_rounds=max_rounds,
+                              checkpoint_dir=checkpoint_dir)
     if docs is None:
         nodes = (
             pairs.select(F.col(a_col).cast("long").alias("doc_id"))
@@ -424,7 +468,8 @@ def dedup_clusters(pairs: DataFrame, docs: DataFrame | None = None,
 def dedup_corpus(docs: DataFrame, method: str = "lsh_jaccard",
                  threshold: float = 0.8, text_col: str = "text",
                  id_col: str = "doc_id",
-                 max_rounds: int = 20) -> DataFrame:
+                 max_rounds: int = 20,
+                 checkpoint_dir: str | None = None) -> DataFrame:
     """One-call near-dup removal: docs → pair operator → transitive
     clusters → canonical survivors, returned with the INPUT schema (the
     shape an indexing/training pipeline consumes: feed the result to
@@ -456,11 +501,127 @@ def dedup_corpus(docs: DataFrame, method: str = "lsh_jaccard",
     else:
         raise ValueError(f"unknown dedup method {method!r}")
     clusters = dedup_clusters(pairs, docs, id_col=id_col,
-                              max_rounds=max_rounds)
+                              max_rounds=max_rounds,
+                              checkpoint_dir=checkpoint_dir)
     return docs.join(
         clusters.where(F.col("keep"))
         .select(F.col("doc_id").alias(id_col)),
         id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Incremental (batch-vs-corpus) dedup — the ingest path
+# ---------------------------------------------------------------------------
+# A real training-data pipeline dedups at ingest, not in one world-sized
+# batch pass: each new micro-batch is checked against the already-ingested
+# corpus via a persisted per-doc state (fingerprint + minhash signature),
+# then within itself. Per-batch work is O(batch × candidates) — the
+# corpus is only ever touched through the banded LSH bucket join, never
+# re-clustered.
+
+MH_COLS = [f"mh{i}" for i in range(N_PERM)]
+
+DEDUP_STATE_SCHEMA = (
+    "doc_id long, fp string, "
+    + ", ".join(f"{c} long" for c in MH_COLS)
+    + ", ingest_batch string"
+)
+
+
+def dedup_state_rows(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, fp, mh0..mhN): the per-doc dedup state an ingest pipeline
+    persists — content fingerprint (exact dups) + minhash signature
+    (near-dup candidates AND verification, so the corpus text never needs
+    to be retained). Docs too short to shingle carry NULL signatures:
+    they can only ever exact-dup."""
+    sigs = minhash_signatures(docs, text_col, id_col)
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                       F.sha2(F.col(text_col), 256).alias("fp"))
+    return base.join(sigs, "doc_id", "left")
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    state: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int = 1000,
+    max_rounds: int = 20,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against an already-ingested corpus, without ever
+    re-clustering the world. Returns ``(survivors, state_rows)``:
+    survivors keep the input schema; state_rows are the
+    (doc_id, fp, mh*) rows to persist for future batches.
+
+    Stage 1 — vs corpus (both sides bounded):
+      * exact: drop batch docs whose sha256 fingerprint exists in state;
+      * near: batch docs sharing an LSH band bucket with a corpus doc
+        whose minhash signatures agree on ≥ threshold of the perms
+        (est_jaccard on the ROUNDED value, the cross-engine rule) are
+        dropped. Corpus-side buckets over ``max_bucket_size`` are
+        dropped — the m² guard, same as lsh_candidate_pairs.
+    Stage 2 — within batch: exact + LSH-verified n-gram Jaccard
+      clustering (:func:`dedup_corpus`), canonical survivor = min doc_id.
+
+    Verification asymmetry, by design: within-batch pairs verify with
+    EXACT n-gram Jaccard (the text is in hand); vs-corpus pairs verify
+    with the minhash estimate (the corpus text is gone — retaining
+    shingle sets for 10¹⁰ docs is the thing this path avoids).
+
+    Incremental semantics, documented: threshold similarity is not
+    transitive — a batch doc B whose only link to the corpus runs
+    through a DROPPED batch doc A (B~A~corpus) survives unless B itself
+    matches the corpus. The standard ingest-time tradeoff; a periodic
+    full :func:`dedup_corpus` pass reclaims the residue if needed.
+    """
+    bstate = dedup_state_rows(batch, text_col, id_col)
+    drop_exact = (
+        bstate.join(state.select("fp"), "fp", "left_semi")
+        .select("doc_id")
+    )
+    bsig = bstate.where(F.col(MH_COLS[0]).isNotNull())
+    csig = state.where(F.col(MH_COLS[0]).isNotNull())
+    cb = lsh_bands(csig.select("doc_id", *MH_COLS))
+    cb = (
+        cb.withColumn("bucket_n", F.count("*").over(
+            Window.partitionBy("band", "band_key")))
+        .where(F.col("bucket_n") <= max_bucket_size)
+        .select(F.col("doc_id").alias("corpus_doc"), "band", "band_key")
+    )
+    bb = lsh_bands(bsig.select("doc_id", *MH_COLS)).select(
+        F.col("doc_id").alias("batch_doc"), "band", "band_key")
+    cand = bb.join(cb, ["band", "band_key"]) \
+        .select("batch_doc", "corpus_doc").distinct()
+    ba = bsig.select(F.col("doc_id").alias("batch_doc"),
+                     *[F.col(c).alias(f"a{i}") for i, c in
+                       enumerate(MH_COLS)])
+    ca = csig.select(F.col("doc_id").alias("corpus_doc"),
+                     *[F.col(c).alias(f"b{i}") for i, c in
+                       enumerate(MH_COLS)])
+    est = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_PERM)
+    ) / float(N_PERM)
+    drop_near = (
+        cand.join(ba, "batch_doc").join(ca, "corpus_doc")
+        .where(F.round(est, 6) >= threshold)
+        .select(F.col("batch_doc").alias("doc_id"))
+        .distinct()
+    )
+    drops = drop_exact.unionByName(drop_near).distinct()
+    keep = batch.join(drops, batch[id_col] == drops["doc_id"],
+                      "left_anti")
+    keep = dedup_corpus(keep, method="exact", text_col=text_col,
+                        id_col=id_col)
+    keep = dedup_corpus(keep, method="lsh_jaccard", threshold=threshold,
+                        text_col=text_col, id_col=id_col,
+                        max_rounds=max_rounds)
+    state_rows = bstate.join(
+        keep.select(F.col(id_col).cast("long").alias("doc_id")),
+        "doc_id", "left_semi")
+    return keep, state_rows
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",

@@ -190,6 +190,63 @@ def upr_scores(token_log_probs: np.ndarray) -> np.ndarray:
     return tlp.sum(axis=1)
 
 
+# MonoVLM prompt + output-token contract (reference
+# monovlm_ranker.py:13-16, 50, 108-110 — the strings ARE the checkpoint
+# contract, kept verbatim).
+MONOVLM_PROMPT_TEMPLATE = (
+    "Assert the relevance of the previous image document to the "
+    "following query, answer True or False. The query is: {query}"
+)
+
+MONOVLM_PREDICTION_TOKENS: dict[str, List[str]] = {
+    "default": ["False", "True"],
+    "lightonai/MonoQwen2-VL-v0.1": ["False", "True"],
+}
+
+
+def monovlm_output_tokens(
+    model_name: str,
+    token_false: str = "auto",
+    token_true: str = "auto",
+) -> Tuple[str, str]:
+    """Resolve the (False, True) answer tokens for a MonoVLM checkpoint
+    (reference monovlm_ranker.py:18-36: 'auto' looks up
+    MONOVLM_PREDICTION_TOKENS, unknown models warn and fall back)."""
+    if token_false == "auto":
+        if model_name in MONOVLM_PREDICTION_TOKENS:
+            token_false = MONOVLM_PREDICTION_TOKENS[model_name][0]
+        else:
+            token_false = MONOVLM_PREDICTION_TOKENS["default"][0]
+            warnings.warn(
+                f"Model {model_name} does not have known True/False "
+                f"tokens; defaulting token_false to {token_false!r}"
+            )
+    if token_true == "auto":
+        if model_name in MONOVLM_PREDICTION_TOKENS:
+            token_true = MONOVLM_PREDICTION_TOKENS[model_name][1]
+        else:
+            token_true = MONOVLM_PREDICTION_TOKENS["default"][1]
+            warnings.warn(
+                f"Model {model_name} does not have known True/False "
+                f"tokens; defaulting token_true to {token_true!r}"
+            )
+    return token_false, token_true
+
+
+def monovlm_scores(
+    false_logits: np.ndarray,
+    true_logits: np.ndarray,
+    return_logits: bool = False,
+) -> np.ndarray:
+    """MonoVLM relevance from the last-position logits at the
+    [False, True] token ids: softmax over the PAIR, probability of True
+    (reference monovlm_ranker.py:131-140); return_logits=True returns
+    the raw True logit (monovlm_ranker.py:136-137). Same pair-softmax
+    identity as :func:`t5_scores`, kept separate because each cites its
+    own reference contract."""
+    return t5_scores(false_logits, true_logits, return_logits)
+
+
 def mxbai_v2_scores(
     last_position_logits: np.ndarray, pos_id: int, neg_id: int
 ) -> np.ndarray:

@@ -504,13 +504,76 @@ def _pylate_scorer(model_name: Optional[str] = None):
 
 @register_scorer("monovlm")
 def _monovlm_scorer(model_name: Optional[str] = None):
-    """MonoVLM image scorer (reference models/monovlm_ranker.py): needs a
-    vision-language model; out of scope in a text-only deployment."""
-    raise ImportError(
-        "monovlm scores image documents with a VLM checkpoint; this "
-        "deployment is text-only — see sources/multimodal.py for the "
-        "binary-column feature pipeline"
-    )
+    """MonoVLM image scorer (reference models/monovlm_ranker.py:93-143):
+    per-image Qwen2-VL chat prompt ('answer True or False'), one forward
+    pass, softmax over the [False, True] token logits → P(True). The
+    prompt template, token resolution and score extraction live in
+    model_math (MONOVLM_PROMPT_TEMPLATE / monovlm_output_tokens /
+    monovlm_scores — tested offline); torch+PIL only run the forward.
+
+    The ``text`` series carries BASE64 IMAGE PAYLOADS (Document.base64;
+    Reranker.rank routes image docs here, and the distributed path is
+    rank_df over an image-b64 column from multimodal.image_docs_to_df)."""
+    try:
+        import torch  # noqa: F401
+        from PIL import Image  # noqa: F401
+        from transformers import (  # noqa: F401
+            AutoProcessor,
+            Qwen2VLForConditionalGeneration,
+        )
+    except ImportError as e:  # pragma: no cover - sandbox has no torch/PIL
+        raise ImportError(
+            "monovlm scorer needs torch+PIL+transformers (Qwen2-VL); "
+            "without them use scorer='stub'/'overlap' for text, or "
+            "sources/multimodal.py for the binary-column image pipeline"
+        ) from e
+
+    from rerankers_spark.rerank import model_math as mm
+
+    model_name = model_name or "lightonai/MonoQwen2-VL-v0.1"
+    # reference monovlm_ranker.py:70: processor defaults to the base
+    # Qwen2-VL checkpoint, model to the reranker fine-tune
+    processor = AutoProcessor.from_pretrained("Qwen/Qwen2-VL-2B-Instruct")
+    model = Qwen2VLForConditionalGeneration.from_pretrained(model_name)
+    model.eval()
+    token_false, token_true = mm.monovlm_output_tokens(model_name)
+    false_id = processor.tokenizer.convert_tokens_to_ids(token_false)
+    true_id = processor.tokenizer.convert_tokens_to_ids(token_true)
+
+    def score(query: pd.Series, text: pd.Series) -> pd.Series:  # pragma: no cover
+        import base64 as b64mod
+        import io
+
+        import numpy as np
+        import torch
+        from PIL import Image
+
+        fl = np.empty(len(text), dtype=np.float64)
+        tl = np.empty(len(text), dtype=np.float64)
+        with torch.inference_mode():
+            # batch_size=1 per image, like the reference (the VLM input
+            # is image-dominated; Arrow batching amortizes the overhead)
+            for i, (q, b64) in enumerate(zip(query, text)):
+                image = Image.open(
+                    io.BytesIO(b64mod.b64decode(b64))).convert("RGB")
+                prompt = mm.MONOVLM_PROMPT_TEMPLATE.format(query=q)
+                messages = [{
+                    "role": "user",
+                    "content": [
+                        {"type": "image", "image": image},
+                        {"type": "text", "text": prompt},
+                    ],
+                }]
+                chat = processor.apply_chat_template(
+                    messages, tokenize=False, add_generation_prompt=True)
+                inputs = processor(text=chat, images=image,
+                                   return_tensors="pt")
+                logits = model(**inputs).logits[:, -1, :]
+                fl[i] = float(logits[0, false_id])
+                tl[i] = float(logits[0, true_id])
+        return pd.Series(mm.monovlm_scores(fl, tl), dtype="float64")
+
+    return score
 
 
 # Model-family × lang → concrete default — full port of the reference's
@@ -925,8 +988,15 @@ class Reranker:
         doc_ids: Optional[Sequence[Union[str, int]]] = None,
         metadata: Optional[Sequence[dict]] = None,
     ) -> RankedResults:
-        prepped = prep_docs(docs, doc_ids, metadata)
-        scores = self._score_pairs(query, [d.text for d in prepped])
+        if self.model_type == "monovlm":
+            # reference monovlm_ranker.py:145-159: image-doc prep, the
+            # scorer consumes base64 payloads instead of text
+            prepped = prep_image_docs(docs, doc_ids, metadata)
+            scores = self._score_pairs(
+                query, [d.base64 for d in prepped])
+        else:
+            prepped = prep_docs(docs, doc_ids, metadata)
+            scores = self._score_pairs(query, [d.text for d in prepped])
         if len(prepped) == 1:
             # single-doc special case: score, NO rank
             # (reference transformer_ranker.py:87-88)

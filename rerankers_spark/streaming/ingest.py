@@ -39,6 +39,60 @@ def read_corpus_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
+def append_corpus_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    index_path: str,
+    batch_id: int,
+    dedup_threshold: float | None = None,
+    dedup_max_bucket_size: int = 1000,
+) -> None:
+    """One ingest micro-batch: (optional) dedup against the indexed
+    corpus, then exactly-once append. Module-level so the replay
+    semantics are directly testable outside a stream; foreachBatch
+    delegates here. Every leg is idempotent under redelivery of the same
+    ``batch_id``: the state read excludes the current batch's partition
+    (the decision is a deterministic function of batch + PRIOR state),
+    append_index's commit protocol no-ops a redelivered epoch, and the
+    state write is delete-own-partition + append."""
+    corpus = batch_df.withColumn(
+        "doc_id", F.xxhash64("repo", "path", "commit")
+    ).withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    new_state = None
+    paths = spimi.IndexPaths(index_path)
+    if dedup_threshold is not None:
+        from rerankers_spark.operators import dedup as dedup_ops
+
+        batch_part = str(batch_id)
+        if paths.exists(spark, "dedup_state"):
+            state = paths.read(spark, "dedup_state").where(
+                F.col("ingest_batch") != batch_part)
+        else:
+            state = spark.createDataFrame(
+                [], dedup_ops.DEDUP_STATE_SCHEMA)
+        corpus, new_state = dedup_ops.incremental_dedup(
+            corpus, state, threshold=dedup_threshold,
+            text_col="content",
+            max_bucket_size=dedup_max_bucket_size)
+        # materialize BEFORE touching the state table: the survivor
+        # plan reads dedup_state, and the partition delete below would
+        # otherwise yank files out from under a lazy plan
+        corpus = corpus.localCheckpoint(eager=True)
+        new_state = new_state.withColumn(
+            "ingest_batch", F.lit(batch_part)).localCheckpoint(
+            eager=True)
+    # batch_id = the replay guard: foreachBatch is at-least-once, and
+    # append_index's commit protocol turns redelivery into a no-op
+    if not corpus.isEmpty():
+        spimi.append_index(spark, corpus, index_path, batch_id=batch_id)
+    if new_state is not None:
+        paths.catalog(spark).delete_partitions(
+            "dedup_state", "ingest_batch", [batch_part])
+        if not new_state.isEmpty():
+            paths.write(new_state, "dedup_state", mode="append",
+                        partition_by=["ingest_batch"])
+
+
 def stream_index_appends(
     spark: SparkSession,
     input_dir: str,
@@ -48,12 +102,27 @@ def stream_index_appends(
     max_generations: int = 4,
     tombstone_ratio: float = 0.10,
     gc_retention_secs: float = 3600.0,
+    dedup_threshold: float | None = None,
+    dedup_max_bucket_size: int = 1000,
 ):
     """Returns a StreamingQuery appending each micro-batch to the index.
 
     Use ``.trigger(availableNow=True)`` semantics via start+await in
     tests; in production this runs continuously and each batch is one
     index generation.
+
+    dedup_threshold: when set, each batch is deduped AT INGEST against
+    the already-indexed corpus and itself (operators/dedup.
+    incremental_dedup): exact dups via persisted sha256 fingerprints,
+    near dups via the persisted minhash state joined on LSH band
+    buckets — batch-vs-corpus candidates only, never a recluster of the
+    world; per-batch work is O(batch × candidates). Only survivors are
+    appended; the survivors' state lands in the ``dedup_state`` table
+    partitioned by ingest_batch. Replay safety: the state read excludes
+    the current batch's partition, the decision is then a deterministic
+    function of (batch, prior state), append_index's commit protocol
+    no-ops a redelivered epoch, and the state write is
+    delete-own-partition + append — every leg idempotent.
 
     maintain_every: run one ``Engine.maintain`` cycle after every N
     batches — streaming ingest otherwise accretes one tiny generation
@@ -74,12 +143,10 @@ def stream_index_appends(
     def _append(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        corpus = batch_df.withColumn(
-            "doc_id", F.xxhash64("repo", "path", "commit")
-        ).withColumn("content_sha256", F.sha2(F.col("content"), 256))
-        # batch_id = the replay guard: foreachBatch is at-least-once, and
-        # append_index's commit protocol turns redelivery into a no-op
-        spimi.append_index(spark, corpus, index_path, batch_id=batch_id)
+        append_corpus_batch(
+            spark, batch_df, index_path, batch_id,
+            dedup_threshold=dedup_threshold,
+            dedup_max_bucket_size=dedup_max_bucket_size)
         n_batches[0] += 1
         if maintain_every and n_batches[0] % maintain_every == 0:
             from rerankers_spark.query.executor import Engine

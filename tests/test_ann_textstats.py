@@ -109,6 +109,85 @@ def test_cosine_near_dup_lsh_mode_subset_of_exact(spark, vectors):
         assert c == pytest.approx(exact[p], abs=1e-12)
 
 
+def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+    """The quadratic-blowup guard: a corpus whose embedding column is
+    near-constant (broken encoder shape) lands ~everything in one
+    (table, sig) bucket per table; with max_bucket_size the candidate
+    pair count stays bounded instead of going O(n²), and the dropped-row
+    count is observable."""
+    n = 60
+    rows = [(i, [1.0 + i * 1e-9] * 8) for i in range(n)]  # one bucket
+    vecs = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    diag = {}
+    out = ann.cosine_near_dup_pairs(
+        vecs, threshold=0.0, mode="lsh", dim=8, n_planes=4, n_tables=4,
+        max_bucket_size=10, diagnostics=diag)
+    pairs = out.collect()
+    # every bucket exceeds the cap -> no pairs survive, nothing quadratic
+    assert pairs == []
+    # the no-silent-caps report: every (doc, table) row was dropped
+    dropped = diag["dropped"].collect()[0]
+    assert dropped["dropped_rows"] == n * 4
+    assert dropped["dropped_buckets"] == 4  # one degenerate bucket/table
+    # a cap above the bucket size changes nothing vs uncapped
+    capped = ann.cosine_near_dup_pairs(
+        vecs, threshold=0.0, mode="lsh", dim=8, n_planes=4, n_tables=4,
+        max_bucket_size=1000).count()
+    uncapped = ann.cosine_near_dup_pairs(
+        vecs, threshold=0.0, mode="lsh", dim=8, n_planes=4,
+        n_tables=4).count()
+    assert capped == uncapped == n * (n - 1) // 2
+
+
+def test_lsh_topk_bucket_cap(spark, vectors):
+    """lsh_cosine_topk: item buckets over the cap are dropped; with a
+    tiny cap on the planted corpus the query simply loses candidates
+    (bounded work), never errors."""
+    q = vectors.where(F.col("vec_id") == 40).select(
+        F.col("vec_id").alias("query_vec_id"), "vec")
+    full = ann.lsh_cosine_topk(q, vectors, k=3, n_planes=8, dim=8).count()
+    tiny = ann.lsh_cosine_topk(q, vectors, k=3, n_planes=8, dim=8,
+                               max_bucket_size=1).count()
+    assert tiny <= full
+
+
+def test_ivf_plan_is_constant_size_in_k(spark, vectors):
+    """k=256 centroids: the centroid matrix must ride the plan as ONE
+    literal — a per-centroid expression list codegens 256 aggregates and
+    caps IVF at toy k. Guard: plan string stays small and does not grow
+    ~linearly with k, and the assignment still computes."""
+    import numpy as np
+
+    cents_16 = ann.seed_centroids(dim=8, k=16, seed=7)
+    cents_256 = ann.seed_centroids(dim=8, k=256, seed=7)
+
+    def expr_nodes(cents):
+        """Count of distance-computation expression nodes in the plan —
+        the thing that used to scale O(k) (one aggregate per centroid)
+        and now must be constant (one transform over ONE literal).
+        The plan STRING still grows with k: a Literal prints its value."""
+        plan = ann.ivf_assign(vectors, cents)._jdf.queryExecution() \
+            .executedPlan().toString()
+        return (plan.count("aggregate("), plan.count("zip_with("),
+                plan.count("transform("))
+
+    n16, n256 = expr_nodes(cents_16), expr_nodes(cents_256)
+    assert n16 == n256, (n16, n256)  # O(1) tree in k
+    assert n256[0] <= 4, n256        # not one aggregate per centroid
+    got = ann.ivf_assign(vectors, cents_256).select("cell").collect()
+    cells = {r["cell"] for r in got}
+    assert all(0 <= c < 256 for c in cells)
+    # mirrors numpy argmin exactly (unrounded training path)
+    vrows = [(r["vec_id"], r["vec"]) for r in vectors.collect()]
+    c = np.array(cents_256)
+    for vid, vec in vrows[:5]:
+        exp = int(((np.array(vec) - c) ** 2).sum(1).argmin())
+        spark_cell = ann.ivf_assign(
+            vectors.where(F.col("vec_id") == vid), cents_256
+        ).collect()[0]["cell"]
+        assert spark_cell == exp
+
+
 def test_ann_plans_native(spark, vectors):
     q = vectors.limit(1).select(F.col("vec_id").alias("query_vec_id"), "vec")
     plan = ann.cosine_topk(q, vectors, k=3)._jdf.queryExecution()\
@@ -206,8 +285,22 @@ def test_lsh_recall_gate_contract_params(spark, driver_embeddings):
 
 
 def test_ivf_recall_gate_contract_params(spark, driver_embeddings):
-    """recall@10 ≥ 0.8 at the ann_recall contract parameters
-    (16 centroids, nprobe=8 — half the cells probed)."""
+    """recall@10 ≥ 0.8 at the ann_recall contract parameters (the
+    FROZEN 16-centroid seeded quantizer of the oracle-gated ivf_ann_topk
+    entry, nprobe=8 — half the cells probed)."""
+    from rerankers_spark.driver_contract import (
+        _ivf_contract_centroids, IVF_CONTRACT_NPROBE)
+
+    e, q, exact = driver_embeddings
+    got = ann.ivf_topk(q, e, _ivf_contract_centroids(), k=10,
+                       nprobe=IVF_CONTRACT_NPROBE).collect()
+    assert _recall(got, exact) >= 0.8
+
+
+def test_ivf_recall_gate_fitted_quantizer(spark, driver_embeddings):
+    """The FITTED quantizer path (kmeans_centroids) also clears the
+    recall gate — freezing the contract model didn't paper over a bad
+    fit."""
     e, q, exact = driver_embeddings
     cents = ann.kmeans_centroids(e, n_centroids=16, dim=64)
     got = ann.ivf_topk(q, e, cents, k=10, nprobe=8).collect()

@@ -12,8 +12,10 @@ ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
 
 
 def test_rows_only_set_is_expected():
-    assert ROWS_ONLY == ["ann_recall", "ivf_ann_topk", "lsh_ann_topk",
-                         "multimodal_features"]
+    # round 5: lsh_ann_topk / ivf_ann_topk / multimodal_features were
+    # promoted to DuckDB-oracle-gated (frozen seeded models are
+    # SQL-expressible); only the recall MEASUREMENT stays rows-only.
+    assert ROWS_ONLY == ["ann_recall"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

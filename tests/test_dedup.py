@@ -4,6 +4,7 @@ math must match the portable (md5-based) reference computation."""
 from __future__ import annotations
 
 import hashlib
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -78,6 +79,26 @@ def test_lsh_finds_exact_and_near_dups(docs):
     assert pairs[(1, 2)]["est_jaccard"] == 1.0
     # near-dups share most shingles → should collide on >=1 band
     assert (1, 6) in pairs or (1, 3) in pairs
+
+
+def test_lsh_bucket_cap_diagnostics(docs):
+    """The no-silent-caps report: with a cap of 1 every multi-member
+    band bucket is dropped (so the exact-dup pair disappears) and the
+    diagnostics DataFrame accounts for every dropped row/bucket."""
+    diag = {}
+    pairs = dedup.lsh_candidate_pairs(docs, max_bucket_size=1,
+                                      diagnostics=diag).collect()
+    assert (1, 2) not in {(r["doc_a"], r["doc_b"]) for r in pairs}
+    dropped = diag["dropped"].collect()[0]
+    assert dropped["dropped_buckets"] >= 1
+    # every dropped bucket had >1 member
+    assert dropped["dropped_rows"] >= 2 * dropped["dropped_buckets"]
+    # an unhit cap reports zeros
+    diag2 = {}
+    dedup.lsh_candidate_pairs(docs, max_bucket_size=10_000,
+                              diagnostics=diag2).collect()
+    z = diag2["dropped"].collect()[0]
+    assert (z["dropped_buckets"], z["dropped_rows"]) == (0, 0)
 
 
 def test_simhash_identical_docs_equal(docs):
@@ -242,6 +263,27 @@ def test_connected_components_convergence_bound(spark):
            for r in dedup.connected_components(
                pairs, max_rounds=10).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir: rounds use RELIABLE checkpoints (cluster-survivable)
+    instead of localCheckpoint; result and stats identical, and the
+    checkpoint dir actually receives RDD data."""
+    n = 32
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+    stats_l, stats_r = {}, {}
+    local = {r["doc_id"]: r["cluster_id"]
+             for r in dedup.connected_components(
+                 pairs, stats=stats_l).collect()}
+    ckdir = str(tmp_path / "cc_ckpt")
+    reliable = {r["doc_id"]: r["cluster_id"]
+                for r in dedup.connected_components(
+                    pairs, checkpoint_dir=ckdir,
+                    stats=stats_r).collect()}
+    assert local == reliable == {i: 0 for i in range(n)}
+    assert stats_l["rounds"] == stats_r["rounds"] > 0
+    assert any(os.scandir(ckdir))  # reliable checkpoints were written
 
 
 def test_clusters_empty_pairs(spark):

@@ -163,6 +163,63 @@ def test_mxbai_v2_scores_logit_diff():
         mm.mxbai_v2_scores(logits, pos_id=2, neg_id=1), [3.0, -2.0])
 
 
+# --- MonoVLM ----------------------------------------------------------------
+
+def test_monovlm_scores_is_pairwise_softmax():
+    """P(True) = softmax over the [False, True] logit pair (reference
+    monovlm_ranker.py:135-139) — the same pair-softmax identity as T5."""
+    f = np.array([0.0, 2.0, -1.0])
+    t = np.array([0.0, 1.0, 3.0])
+    got = mm.monovlm_scores(f, t)
+    want = [math.exp(ti) / (math.exp(fi) + math.exp(ti))
+            for fi, ti in zip(f, t)]
+    np.testing.assert_allclose(got, want, atol=1e-12)
+    # return_logits=True returns the raw True logit
+    # (monovlm_ranker.py:136-137)
+    np.testing.assert_array_equal(
+        mm.monovlm_scores(f, t, return_logits=True), t)
+
+
+def test_monovlm_output_tokens_table():
+    # known checkpoint → its table entry (reference monovlm_ranker.py:13-16)
+    assert mm.monovlm_output_tokens("lightonai/MonoQwen2-VL-v0.1") == (
+        "False", "True")
+    # explicit tokens pass through untouched
+    assert mm.monovlm_output_tokens("x", "F", "T") == ("F", "T")
+    # unknown model warns (twice: false + true) and falls back to default
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert mm.monovlm_output_tokens("mystery/vlm") == ("False", "True")
+        assert len(w) == 2
+
+
+def test_monovlm_prompt_template_verbatim():
+    """The prompt string IS the checkpoint contract (reference
+    monovlm_ranker.py:50, kept byte-identical)."""
+    assert mm.MONOVLM_PROMPT_TEMPLATE == (
+        "Assert the relevance of the previous image document to the "
+        "following query, answer True or False. The query is: {query}"
+    )
+    assert mm.MONOVLM_PROMPT_TEMPLATE.format(query="q?").endswith(
+        "The query is: q?")
+
+
+def test_monovlm_model_type_inference_and_gated_import():
+    import base64
+
+    assert _get_model_type("lightonai/MonoQwen2-VL-v0.1", None) == "monovlm"
+    try:
+        import torch  # noqa: F401
+        pytest.skip("torch present: gated-import branch not reachable")
+    except ImportError:
+        pass
+    # a base64 payload with PNG magic passes prep_image_docs' torch-free
+    # classifier, so rank() reaches the scorer factory and hits the gate
+    png_b64 = base64.b64encode(b"\x89PNG\r\n\x1a\n0000").decode()
+    with pytest.raises(ImportError, match="monovlm scorer"):
+        get_reranker("monovlm").rank("q", [png_b64, png_b64])
+
+
 # --- API ranker payload/parse -----------------------------------------------
 
 def test_payload_cohere_default_shape():

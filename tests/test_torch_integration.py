@@ -90,6 +90,38 @@ def test_single_doc_score_no_rank():
     assert isinstance(rr.score(QUERY, DOCS[1]), float)
 
 
+def test_monovlm_runtime_body():
+    """MonoVLM image reranking through the real Qwen2-VL checkpoint
+    (reference monovlm_ranker.py:93-143, examples/reranker_images.ipynb):
+    two synthetic images — one containing the query term rendered as
+    text, one blank — scored by P(True); ranks contiguous, scores are
+    probabilities."""
+    PIL = pytest.importorskip("PIL")
+    import base64
+    import io
+
+    from PIL import Image, ImageDraw
+
+    def _png_b64(draw_text=None):
+        img = Image.new("RGB", (96, 96), "white")
+        if draw_text:
+            ImageDraw.Draw(img).text((4, 40), draw_text, fill="black")
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    try:
+        rr = Reranker("lightonai/MonoQwen2-VL-v0.1", model_type="monovlm",
+                      verbose=0)
+        out = rr.rank("a picture containing the word cat",
+                      [_png_b64("cat"), _png_b64()])
+    except (OSError, ValueError, ImportError) as e:
+        pytest.skip(f"MonoQwen2 checkpoint unavailable: {e}")
+    results = sorted(out.results, key=lambda r: r.rank)
+    assert [r.rank for r in results] == [1, 2]
+    assert all(0.0 <= r.score <= 1.0 for r in results)
+
+
 def test_pylate_runtime_body():
     pytest.importorskip("pylate")
     _assert_quality(_rank_or_skip("pylate", "lightonai/GTE-ModernColBERT-v1"))
