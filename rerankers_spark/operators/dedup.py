@@ -38,7 +38,22 @@ def _portable_hash(c):
 
 
 def perm_params(i: int) -> tuple[int, int]:
-    return 1 + 2 * i, 7 + 11 * i
+    """Universal-hash parameters for permutation i: h → (a·h + b) % P.
+
+    a must be a LARGE odd multiplier. The original family (a = 1+2i)
+    was nearly order-preserving — a=1 IS the identity, so every
+    "permutation" ranked shingles almost identically, the signature
+    collapsed to a function of the one min-hash shingle, est_jaccard
+    saturated at the band floor for unrelated docs, and band buckets on
+    a Zipf corpus held most of the corpus (measured: 114k candidate
+    pairs from 10k unrelated docs; the verification join at 800k docs
+    shuffled >80 GB). With scrambled multipliers the per-perm agreement
+    probability equals the true Jaccard and band collisions fall to
+    ~j² per band. Constants stay below 2³¹ so a·h + b < 2⁶¹ fits int64
+    for h < P_MOD on both engines (Spark long, DuckDB BIGINT)."""
+    a = (0x9E3779B1 * (2 * i + 1)) % (1 << 31) | 1
+    b = (0x85EBCA77 * (i + 1)) % (1 << 31)
+    return a, b
 
 
 def shingles_col(tokens_col: str = "tokens", k: int = SHINGLE_K):
@@ -119,7 +134,9 @@ def lsh_bands(signatures: DataFrame, n_perm: int = N_PERM,
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
                         max_bucket_size: int = 1000,
-                        diagnostics: dict | None = None) -> DataFrame:
+                        diagnostics: dict | None = None,
+                        n_perm: int = N_PERM,
+                        n_bands: int = N_BANDS) -> DataFrame:
     """(doc_a, doc_b, n_bands_matched, est_jaccard): pairs sharing ≥1 LSH
     band bucket; est_jaccard = matching minhash fraction.
 
@@ -129,9 +146,20 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     (dropped_buckets, dropped_rows) DataFrame for the no-silent-caps
     report (same contract as operators/ann._cap_buckets; a separate
     bounded aggregation, not an ``observe`` metric, which AQE loses
-    nondeterministically on join plans)."""
-    sigs = minhash_signatures(docs, text_col, id_col).cache()
-    bands = lsh_bands(sigs)
+    nondeterministically on join plans).
+
+    n_perm/n_bands tune the S-curve: P(candidate | jaccard j) =
+    1 - (1 - j^r)^b with r = n_perm/n_bands rows per band. The compact
+    contract default (8 perms, 4 bands of r=2) collides at ~j² per band
+    — fine for finding near-dups in modest corpora, but at corpus scale
+    the j≈0.01 background of any shared-vocabulary corpus puts the
+    candidate count at O(n²·j²). Scale runs want r=4 (e.g. 64 perms,
+    16 bands): background collisions drop to ~j⁴ (×16) while j ≥ 0.7
+    pairs still collide with P ≥ 0.98 (j = 0.5: 0.64 — raise n_bands
+    if exactly-threshold recall matters)."""
+    sigs = minhash_signatures(docs, text_col, id_col,
+                              n_perm=n_perm).cache()
+    bands = lsh_bands(sigs, n_perm=n_perm, n_bands=n_bands)
     if diagnostics is not None:
         diagnostics["dropped"] = (
             bands.groupBy("band", "band_key")
@@ -158,16 +186,16 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     )
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
-        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_PERM)],
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_perm)],
     )
     sb = sigs.select(
         F.col("doc_id").alias("doc_b"),
-        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_PERM)],
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_perm)],
     )
     est = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-        for i in range(N_PERM)
-    ) / float(N_PERM)
+        for i in range(n_perm)
+    ) / float(n_perm)
     return (
         pairs.join(sa, "doc_a").join(sb, "doc_b")
         .select("doc_a", "doc_b", "n_bands_matched",
@@ -271,7 +299,10 @@ def winnowing_fingerprints(docs: DataFrame, text_col: str = "text",
 
 def lsh_then_jaccard(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", min_common: int = 1,
-                     max_bucket_size: int = 1000) -> DataFrame:
+                     max_bucket_size: int = 1000,
+                     min_est_jaccard: float | None = None,
+                     n_perm: int = N_PERM,
+                     n_bands: int = N_BANDS) -> DataFrame:
     """(doc_a, doc_b, n_common, jaccard): EXACT n-gram Jaccard computed
     only for LSH candidate pairs — the 100-TB composition of
     lsh_candidate_pairs → ngram verification.
@@ -281,9 +312,32 @@ def lsh_then_jaccard(docs: DataFrame, text_col: str = "text",
     rows), then matched against doc_b's shingles on (doc_b, shingle) —
     the head-shingle O(Σ df²) blowup of the raw self-join never happens.
     Recall is bounded by the LSH parameters (N_PERM/N_BANDS); pairs LSH
-    misses are not verified, by design."""
+    misses are not verified, by design.
+
+    min_est_jaccard: screen candidates on the (rounded) MinHash-estimate
+    similarity BEFORE the exact verification join. Band buckets select
+    for sharing ONE band (2 matching perms), so a corpus with popular
+    shingles but few true near-dups (any Zipf vocabulary — measured on
+    the 800k bench corpus: the unscreened verification join shuffled
+    >80 GB) produces a candidate set dominated by low-similarity pairs;
+    the estimate is already computed per candidate from the signatures
+    (bounded work), and screening at threshold/2 keeps the verification
+    join proportional to plausible pairs. Miss probability for a pair
+    with true Jaccard j is the binomial tail P(Binom(N_PERM, j) <
+    min_est·N_PERM) — e.g. screening at 0.25 for a 0.5 target misses
+    ~3.5% of exactly-0.5 pairs and ~0% above 0.7. None (default)
+    verifies every candidate (the exact-recall contract the oracles
+    mirror).
+
+    n_perm/n_bands: the LSH S-curve (see lsh_candidate_pairs) — corpus
+    scale wants r = n_perm/n_bands = 4 to kill the j≈0.01 background."""
     cand = lsh_candidate_pairs(docs, text_col, id_col,
-                               max_bucket_size).select("doc_a", "doc_b")
+                               max_bucket_size,
+                               n_perm=n_perm, n_bands=n_bands)
+    if min_est_jaccard is not None:
+        cand = cand.where(
+            F.round(F.col("est_jaccard"), 6) >= min_est_jaccard)
+    cand = cand.select("doc_a", "doc_b")
     sh = doc_shingles(docs, text_col, id_col)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -469,7 +523,8 @@ def dedup_corpus(docs: DataFrame, method: str = "lsh_jaccard",
                  threshold: float = 0.8, text_col: str = "text",
                  id_col: str = "doc_id",
                  max_rounds: int = 20,
-                 checkpoint_dir: str | None = None) -> DataFrame:
+                 checkpoint_dir: str | None = None,
+                 min_est_jaccard: float | None = None) -> DataFrame:
     """One-call near-dup removal: docs → pair operator → transitive
     clusters → canonical survivors, returned with the INPUT schema (the
     shape an indexing/training pipeline consumes: feed the result to
@@ -483,6 +538,9 @@ def dedup_corpus(docs: DataFrame, method: str = "lsh_jaccard",
 
     Exactly one doc per duplicate cluster survives (min doc_id, the
     frozen tie-break); docs in no pair pass through untouched.
+    min_est_jaccard (lsh_jaccard only): MinHash-estimate screen before
+    the exact verification join — see lsh_then_jaccard; use ~threshold/2
+    at corpus scale.
     """
     if method == "exact":
         keep = exact_dedup(docs, text_col, id_col).select(
@@ -492,7 +550,9 @@ def dedup_corpus(docs: DataFrame, method: str = "lsh_jaccard",
         # threshold on the ROUNDED similarity (CLAUDE.md cross-engine
         # invariant): the DuckDB oracle sees round(jaccard, 6), and a
         # raw-double cut could keep/drop boundary pairs differently
-        pairs = lsh_then_jaccard(docs, text_col, id_col).where(
+        pairs = lsh_then_jaccard(
+            docs, text_col, id_col,
+            min_est_jaccard=min_est_jaccard).where(
             F.round(F.col("jaccard"), 6) >= threshold)
     elif method == "simhash":
         pairs = simhash_near_pairs(

@@ -58,10 +58,13 @@ def main() -> None:
 
     docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
 
-    # -- pair stage (the dedup_corpus pair pipeline, rounded threshold) --
+    # -- pair stage (the dedup_corpus pair pipeline, rounded threshold,
+    # estimate-screened at threshold/2: a Zipf corpus's band buckets are
+    # dominated by low-similarity collisions, and verifying all of them
+    # shuffled >80 GB at 800k docs — see lsh_then_jaccard docstring) --
     t0 = time.time()
     discovered = (
-        dedup.lsh_then_jaccard(docs)
+        dedup.lsh_then_jaccard(docs, min_est_jaccard=threshold / 2)
         .where(F.round(F.col("jaccard"), 6) >= threshold)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)  # time the pair stage separately

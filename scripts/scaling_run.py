@@ -59,8 +59,39 @@ def _machine_busy_secs() -> float:
     return (sum(vals) - idle) / os.sysconf("SC_CLK_TCK")
 
 
+#: canary slowdown ratio vs the session's best canary above which a
+#: sample window is declared disturbed (see _canary_secs).
+CANARY_MAX_RATIO = float(os.environ.get("SCALING_CANARY_MAX", "1.3"))
+
+
+def _canary_secs() -> float:
+    """Fixed memory-bandwidth-bound workload (single-thread numpy GEMV
+    over a cache-busting array), best of 3. Co-tenant memory-bandwidth /
+    cache pressure is invisible to every guest CPU counter (busy-cores,
+    loadavg, steal all read clean) yet was measured to stretch identical
+    runs 2.2x on this sandbox (round-5 probes: 62.8-140.6 s for the same
+    build). The canary runs the same fixed work before and after each
+    sample; if either is > CANARY_MAX_RATIO x the session's best, the
+    host was in a slow episode during (or right at the edges of) the
+    sample window and the sample is rejected like a busy-cores hit."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((4096, 4096))  # 128 MB >> LLC
+    x = rng.standard_normal(4096)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(64):  # 64 x 128 MB streamed ≈ 50 ms/trial
+            x = a @ x
+            x /= np.abs(x).max()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def _one(cpus: int, sf_dir: str) -> dict:
     _wait_for_quiet()
+    canary0 = _canary_secs()
     t0 = time.time()
     busy0 = _machine_busy_secs()
     out = subprocess.run(
@@ -75,6 +106,7 @@ def _one(cpus: int, sf_dir: str) -> dict:
     wall = time.time() - t0
     r = json.loads(out.stdout.strip().splitlines()[-1])
     r["busy_cores"] = round((_machine_busy_secs() - busy0) / wall, 2)
+    r["canary_secs"] = round(max(canary0, _canary_secs()), 3)
     return r
 
 
@@ -86,30 +118,50 @@ def run_levels(lo: int, hi: int, sf_dir: str, repeats: int = 3
     CPU intruder and is rejected and retried (up to 2*repeats attempts
     per level); best-of-clean per level, falling back to best-of-all if
     a level never got a clean window."""
-    best: dict[int, dict] = {}
-    best_any: dict[int, dict] = {}
-    clean_count = {lo: 0, hi: 0}
+    samples: dict[int, list] = {lo: [], hi: []}
+    cpu_clean_count = {lo: 0, hi: 0}
     attempts = {lo: 0, hi: 0}
+    best_canary = [float("inf")]
     max_attempts = 2 * repeats
-    while any(clean_count[c] < repeats and attempts[c] < max_attempts
+    while any(cpu_clean_count[c] < repeats and attempts[c] < max_attempts
               for c in (lo, hi)):
         for cpus in (lo, hi):
-            if clean_count[cpus] >= repeats or \
+            if cpu_clean_count[cpus] >= repeats or \
                     attempts[cpus] >= max_attempts:
                 continue
             attempts[cpus] += 1
             r = _one(cpus, sf_dir)
-            clean = r["busy_cores"] <= cpus + SELF_MARGIN
+            best_canary[0] = min(best_canary[0], r["canary_secs"])
+            cpu_ok = r["busy_cores"] <= cpus + SELF_MARGIN
+            canary_now = r["canary_secs"] <= CANARY_MAX_RATIO * \
+                best_canary[0]
             print(f"  sample local[{cpus}] attempt {attempts[cpus]}: "
                   f"{r['value']}s busy_cores={r['busy_cores']} "
-                  f"{'CLEAN' if clean else 'REJECTED'}", flush=True)
-            if cpus not in best_any or r["value"] < best_any[cpus]["value"]:
-                best_any[cpus] = r
-            if clean:
-                clean_count[cpus] += 1
-                if cpus not in best or r["value"] < best[cpus]["value"]:
-                    best[cpus] = r
-    return (best.get(lo, best_any[lo]), best.get(hi, best_any[hi]))
+                  f"canary={r['canary_secs']} "
+                  f"{'CLEAN' if cpu_ok and canary_now else 'REJECTED'}"
+                  f"{'' if cpu_ok else '(cpu)'}"
+                  f"{'' if canary_now else '(canary)'}", flush=True)
+            samples[cpus].append((cpu_ok, r))
+            if cpu_ok:
+                cpu_clean_count[cpus] += 1
+
+    def pick(cpus: int) -> dict:
+        """Best-of-clean with the canary judged POST-HOC against the
+        whole session's best canary window (the first sample would
+        otherwise trivially pass a self-relative check); fall back to
+        best-of-cpu-clean, then best-of-all."""
+        rs = samples[cpus]
+        for pool in (
+            [r for ok, r in rs if ok and r["canary_secs"] <=
+             CANARY_MAX_RATIO * best_canary[0]],
+            [r for ok, r in rs if ok],
+            [r for _, r in rs],
+        ):
+            if pool:
+                return min(pool, key=lambda r: r["value"])
+        raise RuntimeError(f"no samples at local[{cpus}]")
+
+    return pick(lo), pick(hi)
 
 
 def main() -> None:

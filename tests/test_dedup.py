@@ -140,6 +140,27 @@ def test_lsh_then_jaccard_equals_pruned_exact(docs):
     assert fused[(1, 2)][1] == pytest.approx(1.0)
 
 
+def test_lsh_then_jaccard_estimate_screen(docs):
+    """min_est_jaccard screens the verification join on the MinHash
+    estimate: a high screen keeps only high-estimate pairs (subset of
+    the unscreened result, same exact-jaccard values), and a zero screen
+    changes nothing."""
+    full = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup.lsh_then_jaccard(docs).collect()}
+    zero = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in dedup.lsh_then_jaccard(
+                docs, min_est_jaccard=0.0).collect()}
+    assert zero == full
+    ests = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+            for r in dedup.lsh_candidate_pairs(docs).collect()}
+    screened = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                for r in dedup.lsh_then_jaccard(
+                    docs, min_est_jaccard=0.9).collect()}
+    expect = {p for p, e in ests.items() if round(e, 6) >= 0.9}
+    assert set(screened) == expect
+    assert all(screened[p] == full[p] for p in screened)
+
+
 def test_lsh_then_jaccard_plan_has_no_raw_shingle_selfjoin(docs):
     """The verify join keys include doc_b — a join on shingle ALONE
     (the O(Σ df²) pattern) must not appear in the optimized plan."""
