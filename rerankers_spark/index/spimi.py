@@ -465,6 +465,12 @@ def build_index(
     # At 100 TB the input has thousands of files and this is a cheap no-op
     # round-robin; locally it is the difference between 1 and N cores.
     width = max(n_shards, spark.sparkContext.defaultParallelism)
+    # emptiness probe for the docstats write below, taken on the PRE-shuffle
+    # plan: limit(1) on the raw input stops after one row, while isEmpty on
+    # top of the repartition would materialize the ENTIRE corpus through the
+    # exchange map side first (limit cannot skip a shuffle) — a full wasted
+    # corpus pass at 100 TB.
+    src = corpus
     corpus = corpus.repartition(width)
 
     corpus = corpus.withColumn(
@@ -508,8 +514,8 @@ def build_index(
         # from the same single pass — EXCEPT on an empty input, where
         # AQE's empty-plan propagation drops the CollectMetrics row and
         # obs.get raises (reproduced on this Spark); the bounded
-        # isEmpty probe skips the exchange for that case only.
-        if not corpus.isEmpty():
+        # pre-shuffle isEmpty probe skips the exchange for that case only.
+        if not src.isEmpty():
             observed = observed.repartition("shard_id")
         paths.write(observed, "docstats", mode="overwrite",
                     partition_by=["shard_id"])
@@ -716,6 +722,7 @@ def append_index(
     from pyspark.sql import Observation
 
     width = max(n_shards, spark.sparkContext.defaultParallelism)
+    src = new_corpus  # pre-shuffle emptiness probe (see build_index)
     new_corpus = new_corpus.repartition(width).withColumn(
         "shard_id",
         (F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)) + gen * n_shards)
@@ -732,7 +739,7 @@ def append_index(
     obs = Observation(f"append_totals_{gen}")
     observed = dt.observe(obs, F.count(F.lit(1)).alias("n"),
                           F.sum("dl").alias("sum_dl"))
-    if not new_corpus.isEmpty():
+    if not src.isEmpty():
         # one writer per shard dir (see build_index; skipped on an empty
         # batch, where the exchange would drop the observation row)
         observed = observed.repartition("shard_id")
