@@ -1152,8 +1152,12 @@ SELECT doc_a, doc_b, cosine FROM p WHERE cosine >= 0.4
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(method, recall_at_10): approximation quality of the ANN paths vs
-    the exact cosine baseline, tracked per round (rows-only — recall is a
-    measurement of deliberate approximation, not an equality oracle)."""
+    the exact cosine baseline, tracked per round. Hash-gated since the
+    round-5 model freeze: with seeded hyperplanes/centroids both approx
+    paths are pure functions of (corpus, constants), so the recall
+    NUMBER itself is DuckDB-recomputable by composing the three ANN
+    oracles (_sql_ann_recall) — the quality FLOOR (≥ 0.8 @10) stays a
+    pytest gate (tests/test_ann_textstats.py)."""
     e = ann.with_double_vec(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     q = e.where(F.col("vec_id") < 5).select(
@@ -1176,6 +1180,25 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.count("*") / F.lit(float(n_exact)), 4)
              .alias("recall_at_10"))
     )
+
+
+def _sql_ann_recall() -> str:
+    """DuckDB mirror of q_ann_recall: the three already-gated ANN
+    oracles (exact cosine, hyperplane-LSH, frozen-centroid IVF) composed
+    into the recall@10 measurement — approx top-10 ∩ exact top-10 over
+    the 5×10 exact set, per method."""
+    return f"""
+WITH exact AS (SELECT query_vec_id, vec_id FROM ({_SQL_ANN}) t),
+lsh AS (SELECT query_vec_id, vec_id FROM ({_sql_lsh_ann_topk()}) t),
+ivf AS (SELECT query_vec_id, vec_id FROM ({_sql_ivf_ann_topk()}) t),
+approx AS (
+  SELECT 'lsh' AS method, query_vec_id, vec_id FROM lsh
+  UNION ALL
+  SELECT 'ivf' AS method, query_vec_id, vec_id FROM ivf)
+SELECT method, round(count(*) / 50.0, 4) AS recall_at_10
+FROM approx JOIN exact USING (query_vec_id, vec_id)
+GROUP BY method
+"""
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1652,7 +1675,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "simhash_near_pairs": (q_simhash_near_pairs, _sql_simhash_pairs()),
     "lsh_ann_topk": (q_lsh_ann_topk, _sql_lsh_ann_topk()),
     "ivf_ann_topk": (q_ivf_ann_topk, _sql_ivf_ann_topk()),
-    "ann_recall": (q_ann_recall, None),
+    "ann_recall": (q_ann_recall, _sql_ann_recall()),
     "embedding_near_dup": (q_embedding_near_dup, _SQL_EMBEDDING_NEAR_DUP),
     "multimodal_features": (q_multimodal_features,
                             _SQL_MULTIMODAL_FEATURES),

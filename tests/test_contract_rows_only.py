@@ -14,8 +14,10 @@ ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
 def test_rows_only_set_is_expected():
     # round 5: lsh_ann_topk / ivf_ann_topk / multimodal_features were
     # promoted to DuckDB-oracle-gated (frozen seeded models are
-    # SQL-expressible); only the recall MEASUREMENT stays rows-only.
-    assert ROWS_ONLY == ["ann_recall"]
+    # SQL-expressible), and with the models frozen even the ann_recall
+    # MEASUREMENT is a pure function of (corpus, constants) — composed
+    # from the three ANN oracles. Every contract entry is hash-gated.
+    assert ROWS_ONLY == []
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
