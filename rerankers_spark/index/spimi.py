@@ -598,6 +598,88 @@ def build_index(
     return paths
 
 
+def _scalars_local_dir(paths: IndexPaths) -> str | None:
+    """The scalars dir as a plain POSIX path when the index lives on the
+    local filesystem in parquet mode, else None. Gates the driver-side
+    single-row fast path below: a one-row table needs no Spark job (the
+    createDataFrame→write job costs a full scheduling round trip and is
+    exposed to this sandbox's multi-second IO stalls), but hdfs://s3a://
+    roots and Iceberg catalogs keep the Spark path."""
+    if paths.catalog_name is not None:
+        return None
+    root = paths.root
+    if root.startswith("file://"):
+        root = root[len("file://"):] or "/"
+    elif "://" in root:
+        return None
+    return f"{root}/scalars"
+
+
+SCALARS_SCHEMA = (
+    "n_docs long, avgdl double, n_shards int, generation int, "
+    "sum_dl long, last_batch_id string, visible_gens string, "
+    "next_gen int, attr_col string")
+
+
+def _read_scalars_local(paths: IndexPaths) -> dict | None:
+    """Driver-side scalars read (no Spark job) — local parquet only.
+    None → caller falls back to the Spark read (missing dir included, so
+    error behavior matches the slow path)."""
+    import os
+
+    d = _scalars_local_dir(paths)
+    if d is None or not os.path.isdir(d):
+        return None
+    files = [f for f in os.listdir(d)
+             if f.endswith(".parquet") and not f.startswith((".", "_"))]
+    if len(files) != 1:
+        return None  # mid-overwrite or unexpected layout → Spark read
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(f"{d}/{files[0]}").to_pylist()
+    if len(rows) != 1:
+        return None
+    row = rows[0]
+    # float NaN → None normalization matches Row.asDict for absent strings
+    return row
+
+
+def _write_scalars_local(paths: IndexPaths, row: tuple) -> bool:
+    """Driver-side single-row scalars overwrite — same delete-then-write
+    visibility window as the Spark overwrite it replaces. Returns False
+    when the root is not local-parquet (caller uses the Spark path)."""
+    import os
+    import uuid
+
+    d = _scalars_local_dir(paths)
+    if d is None:
+        return False
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    (n_docs, avgdl, n_shards, generation, sum_dl, last_batch_id,
+     visible_gens, next_gen, attr_col) = row
+    table = pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "avgdl": pa.array([avgdl], pa.float64()),
+        "n_shards": pa.array([n_shards], pa.int32()),
+        "generation": pa.array([generation], pa.int32()),
+        "sum_dl": pa.array([sum_dl], pa.int64()),
+        "last_batch_id": pa.array([last_batch_id], pa.string()),
+        "visible_gens": pa.array([visible_gens], pa.string()),
+        "next_gen": pa.array([next_gen], pa.int32()),
+        "attr_col": pa.array([attr_col], pa.string()),
+    })
+    os.makedirs(d, exist_ok=True)
+    tmp = f"{d}/.tmp-{uuid.uuid4().hex}.parquet"
+    pq.write_table(table, tmp)
+    for f in os.listdir(d):
+        if not f.startswith((".", "_")):
+            os.unlink(f"{d}/{f}")
+    os.replace(tmp, f"{d}/part-00000-{uuid.uuid4().hex}.snappy.parquet")
+    return True
+
+
 def _write_scalars(spark: SparkSession, paths: IndexPaths, n_docs: int,
                    avgdl: float, n_shards: int,
                    visible_gens: list[int],
@@ -620,25 +702,25 @@ def _write_scalars(spark: SparkSession, paths: IndexPaths, n_docs: int,
         sum_dl = int(round(avgdl * n_docs))
     visible_gens = sorted(visible_gens)
     generation = len(visible_gens) - 1
-    df = spark.createDataFrame(
-        [(n_docs, avgdl, n_shards, generation, sum_dl, last_batch_id,
-          ",".join(str(g) for g in visible_gens), int(next_gen),
-          attr_col)],
-        "n_docs long, avgdl double, n_shards int, generation int, "
-        "sum_dl long, last_batch_id string, visible_gens string, "
-        "next_gen int, attr_col string",
-    ).coalesce(1)
+    row = (n_docs, avgdl, n_shards, generation, sum_dl, last_batch_id,
+           ",".join(str(g) for g in visible_gens), int(next_gen),
+           attr_col)
+    if _write_scalars_local(paths, row):
+        return
+    df = spark.createDataFrame([row], SCALARS_SCHEMA).coalesce(1)
     paths.write(df, "scalars", mode="overwrite")
 
 
 def load_scalars(spark: SparkSession, paths: IndexPaths) -> tuple[int, float]:
-    r = paths.read(spark, "scalars").collect()[0]
+    r = load_meta(spark, paths)
     return int(r["n_docs"]), float(r["avgdl"])
 
 
 def load_meta(spark: SparkSession, paths: IndexPaths) -> dict:
-    r = paths.read(spark, "scalars").collect()[0]
-    return r.asDict()
+    r = _read_scalars_local(paths)
+    if r is not None:
+        return r
+    return paths.read(spark, "scalars").collect()[0].asDict()
 
 
 def index_stats(spark: SparkSession, paths: IndexPaths) -> dict:

@@ -420,6 +420,123 @@ def query_terms_with_idf(
 #: (a query log that big touches most of the index anyway).
 TERM_PUSHDOWN_CAP = 4096
 
+#: query sets whose exploded (query_id, term) pair count stays under this
+#: cap get the LOCAL query-plan fast path: the pairs are collected once
+#: (one bounded single-stage job), term df is fetched with one bounded
+#: lookup, and every downstream use — term pushdown list, routing,
+#: bucket_terms, the cogroup query side — derives from a LOCAL relation.
+#: The distributed formulation re-evaluated the tokenize→dedup→termstats
+#: subplan 3-5× per search (term collect, bucket_terms broadcast build,
+#: q_side, the auto router's tag agg — measured ~4 s of redundant jobs
+#: per 50-query call at local[32]). Past the cap the original fully
+#: distributed path runs unchanged — a billion-row query log never
+#: touches the driver (same size-gated adaptivity as a broadcast join).
+QT_PAIR_CAP = 16384
+
+
+def local_df(spark: SparkSession, pdf: pd.DataFrame,
+             schema: str) -> DataFrame:
+    """Small driver-side table → DataFrame via the Arrow path: the data
+    ships to the JVM as Arrow batches decoded JVM-side, so downstream
+    stages evaluate it without Python workers. createDataFrame on a
+    plain row list instead builds a pickled Python RDD whose every
+    evaluation (broadcast builds, cogroup sides) spins up a Python
+    worker — measured multi-second 1-task stages on the query path."""
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+class LocalQueryPlan:
+    """Driver-materialized query plan: deduplicated in-vocabulary
+    (query_id, term) pairs + the df of each term. idf is NOT computed
+    here — it is evaluated by the same JVM Column expression
+    (bm25.idf_col) on the local relation, so scores stay bit-identical
+    to the distributed path."""
+
+    __slots__ = ("pairs", "terms", "df_map", "n_queries")
+
+    def __init__(self, pairs, terms, df_map, n_queries):
+        self.pairs = pairs          # [(query_id, term)] in-vocab, sorted
+        self.terms = terms          # sorted in-vocab term list
+        self.df_map = df_map        # {term: df}
+        self.n_queries = n_queries  # distinct query ids INCLUDING all-OOV
+
+    @property
+    def empty(self) -> bool:
+        return not self.pairs
+
+    def subset(self, query_ids) -> "LocalQueryPlan":
+        pairs = [(q, t) for q, t in self.pairs if q in query_ids]
+        terms = sorted({t for _, t in pairs})
+        return LocalQueryPlan(pairs, terms,
+                              {t: self.df_map[t] for t in terms},
+                              len({q for q, _ in pairs}))
+
+    def min_df_by_query(self) -> dict:
+        out: dict[int, int] = {}
+        for q, t in self.pairs:
+            d = self.df_map[t]
+            if q not in out or d < out[q]:
+                out[q] = d
+        return out
+
+    def local_qt(self, spark: SparkSession, n_docs: int) -> DataFrame:
+        """(query_id, term, idf, df) as a local relation — the same
+        schema query_terms_with_idf produces, no distributed subplan."""
+        pdf = pd.DataFrame({
+            "query_id": np.array([q for q, _ in self.pairs],
+                                 dtype=np.int64),
+            "term": [t for _, t in self.pairs],
+            "df": np.array([self.df_map[t] for _, t in self.pairs],
+                           dtype=np.int64),
+        })
+        return (
+            local_df(spark, pdf, "query_id long, term string, df long")
+            .coalesce(1)
+            .select("query_id", "term",
+                    bm25.idf_col(F.col("df"), n_docs).alias("idf"), "df")
+        )
+
+
+def build_local_query_plan(
+    spark: SparkSession, queries: DataFrame, termstats: DataFrame,
+    pair_cap: int = QT_PAIR_CAP,
+) -> LocalQueryPlan | None:
+    """Try to materialize the bounded local query plan; None past the
+    caps (the caller falls back to the distributed formulation). Two
+    bounded jobs: a single-stage limit-collect of the exploded query
+    terms, and a term-df lookup filtered to that vocabulary."""
+    from rerankers_spark.functions.tokenize import tokenize_col
+
+    pair_rows = (
+        queries.select("query_id", F.explode(tokenize_col("query"))
+                       .alias("term"))
+        .limit(pair_cap + 1).collect())
+    if len(pair_rows) > pair_cap:
+        return None
+    seen = sorted({(int(r["query_id"]), str(r["term"]))
+                   for r in pair_rows})
+    terms = sorted({t for _, t in seen})
+    if len(terms) > TERM_PUSHDOWN_CAP:
+        return None
+    df_map: dict[str, int] = {}
+    if terms:
+        df_map = {
+            r["term"]: int(r["df"])
+            for r in termstats.where(F.col("term").isin(terms)).collect()}
+    pairs = [(q, t) for q, t in seen if t in df_map]
+    return LocalQueryPlan(pairs, sorted(df_map), df_map,
+                          len({q for q, _ in seen}))
+
+
+def empty_result(spark: SparkSession) -> DataFrame:
+    return local_df(
+        spark,
+        pd.DataFrame({"query_id": np.array([], dtype=np.int64),
+                      "doc_id": np.array([], dtype=np.int64),
+                      "score": np.array([], dtype=np.float64),
+                      "rank": np.array([], dtype=np.int32)}),
+        "query_id long, doc_id long, score double, rank int")
+
 
 def bmw_topk(
     spark: SparkSession,
@@ -437,6 +554,7 @@ def bmw_topk(
     keep_mode: str = "broadcast",
     attr_values: list | None = None,
     keep_bc=None,
+    local_plan: LocalQueryPlan | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score, rank): exact BM25 top-k via BMW.
 
@@ -545,27 +663,47 @@ def bmw_topk(
             // max(1, n_shards_total))
     n_buckets = int(query_buckets)
 
+    # local_plan: None = not probed yet; False = probed, past the caps
+    # (use the distributed path without re-probing); a LocalQueryPlan is
+    # truthy and selects the local path.
+    push_terms: list[str] | None = None
     if qt is None:
         if termstats is None:
             from rerankers_spark.index.spimi import load_termstats
 
             termstats = load_termstats(spark, paths, meta)
-        qt = query_terms_with_idf(spark, queries, paths, n_docs, termstats)
+        if local_plan is None:
+            local_plan = build_local_query_plan(spark, queries,
+                                                termstats) or False
+        if not local_plan:
+            qt = query_terms_with_idf(spark, queries, paths, n_docs,
+                                      termstats)
+    if local_plan:
+        # bounded local plan: query terms + df already on the driver —
+        # qt becomes a LOCAL relation (idf via the same JVM expression),
+        # no per-call re-evaluation of the tokenize→dedup→termstats
+        # subplan and no separate pushdown-collect job.
+        if local_plan.empty:
+            return empty_result(spark)
+        qt = local_plan.local_qt(spark, n_docs)
+        push_terms = local_plan.terms
     # the bucket expression is instantiated separately per cogroup side so
     # the two plans don't share an attribute (ambiguous-self-join check)
     def _bucket_col():
         return F.pmod(F.xxhash64("query_id"), F.lit(n_buckets)).cast("int")
 
-    # Bounded term-list pushdown (see TERM_PUSHDOWN_CAP). limit() means the
-    # driver never holds more than CAP+1 terms even for a huge query log.
-    # Collected from the RAW query terms (no termstats join in this job);
-    # OOV terms in the list are harmless — they match no blocks.
-    term_rows = bm25.query_terms(queries).select("term").distinct() \
-        .limit(TERM_PUSHDOWN_CAP + 1).collect()
-    if not term_rows:
-        return spark.createDataFrame(
-            [], "query_id long, doc_id long, score double, rank int"
-        )
+    if push_terms is None:
+        # Bounded term-list pushdown (see TERM_PUSHDOWN_CAP). limit() means
+        # the driver never holds more than CAP+1 terms even for a huge
+        # query log. Collected from the RAW query terms (no termstats join
+        # in this job); OOV terms in the list are harmless — they match no
+        # blocks.
+        term_rows = bm25.query_terms(queries).select("term").distinct() \
+            .limit(TERM_PUSHDOWN_CAP + 1).collect()
+        if not term_rows:
+            return empty_result(spark)
+        if len(term_rows) <= TERM_PUSHDOWN_CAP:
+            push_terms = [r["term"] for r in term_rows]
     if blocks is None:
         from rerankers_spark.index.spimi import load_blocks
 
@@ -581,9 +719,8 @@ def bmw_topk(
         # partition-column predicate → whole attr directories pruned at
         # the parquet scan (PartitionFilters, asserted in tests)
         blocks = blocks.where(F.col("attr").isin(attr_values))
-    if len(term_rows) <= TERM_PUSHDOWN_CAP:
-        blocks = blocks.where(
-            F.col("term").isin([r["term"] for r in term_rows]))
+    if push_terms is not None:
+        blocks = blocks.where(F.col("term").isin(push_terms))
 
     # blocks → (shard_id, bucket) groups: a block row is replicated to
     # exactly the buckets whose queries use its term.
@@ -594,8 +731,10 @@ def bmw_topk(
     # queries → every shard (shard results are doc-disjoint and merge
     # exactly); the query side is rows of (id, term, idf) — tiny next to
     # block bytes, so the |shards|× replication is the cheap direction.
-    shards = spark.createDataFrame([(s,) for s in shard_ids],
-                                   "shard_id int")
+    shards = local_df(
+        spark, pd.DataFrame({"shard_id": np.array(shard_ids,
+                                                  dtype=np.int32)}),
+        "shard_id int")
     if attr_mode:
         # cogroup keys gain attr: each (shard, attr) is a doc-disjoint
         # posting run, so group-local top-k lists still merge exactly.
@@ -604,8 +743,9 @@ def bmw_topk(
         # distinct partition pairs of the (term-filtered) blocks.
         group_keys = ["shard_id", "attr", "bucket"]
         if attr_values is not None:
-            side_df = shards.crossJoin(spark.createDataFrame(
-                [(v,) for v in attr_values], "attr string"))
+            side_df = shards.crossJoin(local_df(
+                spark, pd.DataFrame({"attr": list(attr_values)}),
+                "attr string"))
         else:
             # FRESH scan (not the `blocks` handle): the pairs listing
             # would otherwise share its plan subtree with the cogroup's
@@ -644,8 +784,10 @@ def bmw_topk(
                 "keep_doc")
             keep_sharded = part if keep_sharded is None \
                 else keep_sharded.unionByName(part)
-        buckets = spark.createDataFrame(
-            [(b,) for b in range(n_buckets)], "bucket int")
+        buckets = local_df(
+            spark, pd.DataFrame({"bucket": np.arange(n_buckets,
+                                                     dtype=np.int32)}),
+            "bucket int")
         keep_rows = keep_sharded.crossJoin(F.broadcast(buckets))
         if attr_mode:
             # a keep id's attr is unknown → replicate it to the shard's

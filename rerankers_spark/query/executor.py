@@ -215,7 +215,9 @@ class Engine:
     def search(self, queries: DataFrame, k: int = 10,
                mode: str = "bmw",
                doc_filter: Optional[DataFrame] = None,
-               attr_filter: Optional[list] = None) -> DataFrame:
+               attr_filter: Optional[list] = None,
+               local_plan: Optional["bmw.LocalQueryPlan"] = None
+               ) -> DataFrame:
         """(query_id, doc_id, score, rank) — BM25 top-k.
 
         mode='bmw' (block-skipping fast path), 'exhaustive' (vectorized
@@ -240,6 +242,11 @@ class Engine:
         (build_index attr_col) — prunes whole block partitions at the
         scan, the cheapest filter shape by far (bmw.bmw_topk
         attr_values). Composable with doc_filter.
+
+        local_plan: optional pre-built bmw.LocalQueryPlan for these
+        queries (rank() builds one and shares it between the stages);
+        None → each path probes for one itself (bounded, falls back to
+        the distributed formulation past bmw.QT_PAIR_CAP).
         """
         keep_mode = "broadcast"
         keep_bc = None
@@ -253,26 +260,63 @@ class Engine:
                                 tomb_bc=self._tomb_bc,
                                 keep_mode=keep_mode,
                                 attr_values=attr_filter,
-                                keep_bc=keep_bc)
+                                keep_bc=keep_bc,
+                                local_plan=local_plan)
         if mode == "exhaustive":
             return self._exhaustive(queries, k, doc_filter=doc_filter,
-                                    attr_filter=attr_filter)
+                                    attr_filter=attr_filter,
+                                    local_plan=local_plan)
         if mode == "auto":
             return self._auto(queries, k, doc_filter=doc_filter,
                               keep_mode=keep_mode,
-                              attr_filter=attr_filter, keep_bc=keep_bc)
+                              attr_filter=attr_filter, keep_bc=keep_bc,
+                              local_plan=local_plan)
         raise ValueError(f"unknown mode {mode!r}")
 
     def _auto(self, queries: DataFrame, k: int,
               doc_filter: Optional[DataFrame] = None,
               keep_mode: str = "broadcast",
               attr_filter: Optional[list] = None,
-              keep_bc=None) -> DataFrame:
-        """Route each query dense/sparse with a tag column — fully
-        set-oriented (no driver collect; the routing table stays a
-        DataFrame however large the query log is)."""
+              keep_bc=None,
+              local_plan: Optional["bmw.LocalQueryPlan"] = None
+              ) -> DataFrame:
+        """Route each query dense/sparse. Bounded query sets route on the
+        driver over the local query plan (one job instead of re-running
+        the tokenize→termstats tag aggregation in every branch); larger
+        logs keep the fully set-oriented tag-column formulation (the
+        routing table stays a DataFrame however large the query log is).
+        Both compute the identical min-df test, so the branch assignment
+        — and therefore every score — is unchanged."""
         meta, termstats, blocks = self._handles()
         n_docs = int(meta["n_docs"])
+        if local_plan is None:
+            local_plan = bmw.build_local_query_plan(
+                self.spark, queries, termstats) or False
+        if local_plan:
+            if local_plan.empty:
+                return bmw.empty_result(self.spark)
+            min_df = local_plan.min_df_by_query()
+            dense_ids = {q for q, d in min_df.items()
+                         if d / n_docs > self.AUTO_DENSE_DF_RATIO}
+            sparse_ids = set(min_df) - dense_ids
+            parts = []
+            if dense_ids:
+                parts.append(self._exhaustive(
+                    queries, k, doc_filter=doc_filter,
+                    attr_filter=attr_filter,
+                    local_plan=local_plan.subset(dense_ids)))
+            if sparse_ids:
+                parts.append(bmw.bmw_topk(
+                    self.spark, queries, self.paths, k=k,
+                    meta=meta, termstats=termstats, blocks=blocks,
+                    keep_docs=doc_filter,
+                    local_plan=local_plan.subset(sparse_ids),
+                    tomb_bc=self._tomb_bc, keep_mode=keep_mode,
+                    attr_values=attr_filter, keep_bc=keep_bc))
+            if not parts:
+                return bmw.empty_result(self.spark)
+            return parts[0] if len(parts) == 1 \
+                else parts[0].unionByName(parts[1])
         qt = bmw.query_terms_with_idf(
             self.spark, queries, self.paths, n_docs, termstats)
         tag = qt.groupBy("query_id").agg(
@@ -302,7 +346,9 @@ class Engine:
     def _exhaustive(self, queries: DataFrame, k: int,
                     doc_filter: Optional[DataFrame] = None,
                     qt: Optional[DataFrame] = None,
-                    attr_filter: Optional[list] = None) -> DataFrame:
+                    attr_filter: Optional[list] = None,
+                    local_plan: Optional["bmw.LocalQueryPlan"] = None
+                    ) -> DataFrame:
         """Score every posting of every query term (no skipping) by
         decoding blocks — the C9 oracle path over the SAME index bytes."""
         import numpy as np
@@ -321,18 +367,29 @@ class Engine:
             blocks = blocks.where(
                 F.col("attr").isin([str(v) for v in attr_filter]))
         n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
-        if qt is None:
-            qt = bmw.query_terms_with_idf(self.spark, queries, self.paths,
-                                          n_docs, termstats)
-        # bounded pushdown list (see bmw.TERM_PUSHDOWN_CAP): small query
-        # vocabularies push a term filter into the parquet scan; larger
-        # ones rely on the broadcast join below as the only term filter.
-        terms = [r["term"] for r in qt.select("term").distinct()
-                 .limit(bmw.TERM_PUSHDOWN_CAP + 1).collect()]
+        if qt is None and local_plan is None:
+            local_plan = bmw.build_local_query_plan(
+                self.spark, queries, termstats) or False
+        if local_plan:
+            # bounded local plan (see bmw.QT_PAIR_CAP): terms + df are
+            # already on the driver — no separate pushdown-collect job,
+            # qt becomes a local relation (idf via the same expression).
+            if local_plan.empty:
+                return bmw.empty_result(self.spark)
+            terms = local_plan.terms
+            qt = local_plan.local_qt(self.spark, n_docs)
+        else:
+            if qt is None:
+                qt = bmw.query_terms_with_idf(self.spark, queries,
+                                              self.paths, n_docs, termstats)
+            # bounded pushdown list (see bmw.TERM_PUSHDOWN_CAP): small
+            # query vocabularies push a term filter into the parquet scan;
+            # larger ones rely on the broadcast join below as the only
+            # term filter.
+            terms = [r["term"] for r in qt.select("term").distinct()
+                     .limit(bmw.TERM_PUSHDOWN_CAP + 1).collect()]
         if not terms:
-            return self.spark.createDataFrame(
-                [], "query_id long, doc_id long, score double, rank int"
-            )
+            return bmw.empty_result(self.spark)
         if len(terms) <= bmw.TERM_PUSHDOWN_CAP:
             blocks = blocks.where(F.col("term").isin(terms))
         matched = blocks.join(F.broadcast(qt), "term")
@@ -434,11 +491,25 @@ class Engine:
         first stage, so the reranker only ever sees eligible
         candidates).
         """
+        meta, termstats, _ = self._handles()
+        local_plan = bmw.build_local_query_plan(
+            self.spark, queries, termstats) or False
         cands = self.search(queries, k=first_k, mode=mode,
                             doc_filter=doc_filter,
-                            attr_filter=attr_filter).select(
+                            attr_filter=attr_filter,
+                            local_plan=local_plan).select(
             "query_id", "doc_id", F.col("score").alias("bm25_score")
         )
+        # Text attach: the candidate side is bounded (≤ n_queries ×
+        # first_k rows of three numeric columns) whenever the local plan
+        # resolved, so IT is the broadcast side — the planner's size
+        # estimate for a UDF-bearing subtree is unknown/huge and it
+        # otherwise builds a fresh broadcast of the corpus text on every
+        # call (measured ~0.7 s/call; and at scale the corpus side must
+        # never be the build side). Past the cap the planner keeps
+        # choosing from its own estimates, unchanged.
+        if local_plan and local_plan.n_queries * first_k <= 2_000_000:
+            cands = F.broadcast(cands)
         with_text = cands.join(corpus_text.select(
             "doc_id", F.col("content").alias("text")), "doc_id")
         with_query = with_text.join(F.broadcast(queries), "query_id")

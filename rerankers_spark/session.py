@@ -26,6 +26,18 @@ def get_spark(
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_SHUFFLE_PARTITIONS", max(cpus, 8))
     )
+    # Python workers fork from the daemon process: preloading
+    # numpy/pandas/pyarrow THERE (rerankers_spark/spark_daemon.py) makes
+    # every forked worker inherit them copy-on-write instead of paying
+    # its own ~0.5-1 s import — measured as a multi-second tax on the
+    # first Arrow stage at local[32]. PYTHONPATH must carry the package
+    # root so worker processes (whose sys.path does not inherit the
+    # driver's) can import the daemon module from any cwd.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -33,6 +45,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # cached plans (Engine's termstats persist, bench's corpus cache)
+        # otherwise pin their pre-AQE shuffle width: every downstream job
+        # re-reads the cache with `shuffle_partitions` tasks however tiny
+        # the data is (measured: 64-task InMemoryTableScan stages over a
+        # few KB of termstats on every query). Letting AQE re-plan cached
+        # output is size-adaptive at every scale (guide §2.2).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
+        .config("spark.python.daemon.module",
+                "rerankers_spark.spark_daemon")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.filterPushdown", "true")
@@ -43,4 +65,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # Diagnostics hook (scripts/bench_jobs.py): extra conf as a JSON dict
+    # in $SPARK_EXTRA_CONF — e.g. event-log settings for job attribution.
+    # Unset (the normal case, incl. the frozen bench.py path) = no-op.
+    extra = os.environ.get("SPARK_EXTRA_CONF")
+    if extra:
+        import json
+
+        for k, v in json.loads(extra).items():
+            builder = builder.config(k, str(v))
     return builder.getOrCreate()
