@@ -452,13 +452,14 @@ class LocalQueryPlan:
     (bm25.idf_col) on the local relation, so scores stay bit-identical
     to the distributed path."""
 
-    __slots__ = ("pairs", "terms", "df_map", "n_queries")
+    __slots__ = ("pairs", "terms", "df_map", "n_queries", "qtext")
 
-    def __init__(self, pairs, terms, df_map, n_queries):
+    def __init__(self, pairs, terms, df_map, n_queries, qtext=None):
         self.pairs = pairs          # [(query_id, term)] in-vocab, sorted
         self.terms = terms          # sorted in-vocab term list
         self.df_map = df_map        # {term: df}
         self.n_queries = n_queries  # distinct query ids INCLUDING all-OOV
+        self.qtext = qtext or {}    # {query_id: query text} (rank() join)
 
     @property
     def empty(self) -> bool:
@@ -469,7 +470,19 @@ class LocalQueryPlan:
         terms = sorted({t for _, t in pairs})
         return LocalQueryPlan(pairs, terms,
                               {t: self.df_map[t] for t in terms},
-                              len({q for q, _ in pairs}))
+                              len({q for q, _ in pairs}), self.qtext)
+
+    def queries_df(self, spark: SparkSession) -> DataFrame:
+        """(query_id, query) of every query with at least one token — a
+        local relation standing in for the caller's queries DataFrame in
+        the rank() text join (the caller's frame is often a pickled-RDD
+        local table whose every broadcast build spins Python workers)."""
+        ids = sorted(self.qtext)
+        return local_df(
+            spark,
+            pd.DataFrame({"query_id": np.array(ids, dtype=np.int64),
+                          "query": [self.qtext[q] for q in ids]}),
+            "query_id long, query string")
 
     def min_df_by_query(self) -> dict:
         out: dict[int, int] = {}
@@ -508,13 +521,14 @@ def build_local_query_plan(
     from rerankers_spark.functions.tokenize import tokenize_col
 
     pair_rows = (
-        queries.select("query_id", F.explode(tokenize_col("query"))
-                       .alias("term"))
+        queries.select("query_id", "query",
+                       F.explode(tokenize_col("query")).alias("term"))
         .limit(pair_cap + 1).collect())
     if len(pair_rows) > pair_cap:
         return None
     seen = sorted({(int(r["query_id"]), str(r["term"]))
                    for r in pair_rows})
+    qtext = {int(r["query_id"]): r["query"] for r in pair_rows}
     terms = sorted({t for _, t in seen})
     if len(terms) > TERM_PUSHDOWN_CAP:
         return None
@@ -525,7 +539,7 @@ def build_local_query_plan(
             for r in termstats.where(F.col("term").isin(terms)).collect()}
     pairs = [(q, t) for q, t in seen if t in df_map]
     return LocalQueryPlan(pairs, sorted(df_map), df_map,
-                          len({q for q, _ in seen}))
+                          len({q for q, _ in seen}), qtext)
 
 
 def empty_result(spark: SparkSession) -> DataFrame:

@@ -512,7 +512,22 @@ class Engine:
             cands = F.broadcast(cands)
         with_text = cands.join(corpus_text.select(
             "doc_id", F.col("content").alias("text")), "doc_id")
-        with_query = with_text.join(F.broadcast(queries), "query_id")
+        # query text comes from the local plan when it resolved — the
+        # caller's queries frame is often a parallelized local table whose
+        # broadcast build otherwise re-evaluates it (with Python workers
+        # for pickled-RDD frames) on every call.
+        q_for_join = local_plan.queries_df(self.spark) if local_plan \
+            else queries
+        with_query = with_text.join(F.broadcast(q_for_join), "query_id")
+        # One exchange, placed BEFORE the scorer UDF: the final rank
+        # window repartitions by query_id regardless, but left after the
+        # UDF the scorer inherits the text join's partitioning (a
+        # broadcast join adds no exchange, so that is the corpus scan's
+        # — measured running the whole scorer in ONE task on a cached
+        # single-file corpus). Hoisting the same-keyed exchange lets AQE
+        # size the scorer stage and satisfies the window's requirement,
+        # so the plan's exchange count is unchanged.
+        with_query = with_query.repartition("query_id")
         reranked = self.reranker.rank_df(with_query)
         return reranked.where(F.col("rank") <= final_k).select(
             "query_id", "doc_id", "bm25_score", "score", "rank"

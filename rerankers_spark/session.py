@@ -53,6 +53,20 @@ def get_spark(
         # output is size-adaptive at every scale (guide §2.2).
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
                 "true")
+        # limit+collect starts its partition scan at 1 and escalates by
+        # 4× per round — a bounded collect over a 32-partition input runs
+        # up to 4 sequential mini-jobs (measured ~0.5 s of pure job floor
+        # per query call). Starting wider costs nothing material on a
+        # scan with an early-exit limit and removes the escalation rounds.
+        .config("spark.sql.limit.initialNumPartitions", "64")
+        # AQE coalescing targets BYTES, but this engine's post-shuffle
+        # stages are Python kernels whose cost per byte dwarfs shuffle
+        # IO: with the 1m default the (shard × bucket) cogroup collapses
+        # to ONE task on compressed-KB inputs and the WAND kernel runs
+        # serially. 64k keeps small-input kernels parallel while leaving
+        # sizeable shuffles governed by totalBytes/parallelism as before.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                "64k")
         .config("spark.python.daemon.module",
                 "rerankers_spark.spark_daemon")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -63,6 +63,13 @@ def main() -> None:
 
     phase("q_index_build", lambda: Engine.build(
         spark, corpus, index_path, n_shards=n_shards, scorer="overlap"))
+
+    def rebuild():
+        shutil.rmtree(index_path, ignore_errors=True)
+        Engine.build(spark, corpus, index_path, n_shards=n_shards,
+                     scorer="overlap")
+
+    phase("q_index_build_warm", rebuild)
     engine = Engine(spark, index_path, scorer="overlap")
     q50 = bench.synthetic_queryset(spark, int(os.environ.get("BENCH_QUERIES",
                                                              50)))
