@@ -121,9 +121,8 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def lsh_signature(df: DataFrame, planes: list[list[float]],
-                  vec_col: str = "vec") -> DataFrame:
-    """Adds ``sig`` — sign-bit signature over the hyperplanes."""
+def _sig_expr(planes: list[list[float]], vec_col: str):
+    """The ``sig`` Column — sign-bit signature over the hyperplanes."""
     bits = []
     for j, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
@@ -131,7 +130,13 @@ def lsh_signature(df: DataFrame, planes: list[list[float]],
             F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(1 << j))
             .otherwise(0)
         )
-    return df.withColumn("sig", sum(bits).cast("long"))
+    return sum(bits).cast("long")
+
+
+def lsh_signature(df: DataFrame, planes: list[list[float]],
+                  vec_col: str = "vec") -> DataFrame:
+    """Adds ``sig`` — sign-bit signature over the hyperplanes."""
+    return df.withColumn("sig", _sig_expr(planes, vec_col))
 
 
 def lsh_cosine_topk(
@@ -159,24 +164,25 @@ def lsh_cosine_topk(
     dropped-count report, see _cap_buckets) — a degenerate bucket
     contributes noise, not recall, and at corpus scale it contributes a
     full-shuffle join."""
-    q = queries.select(query_id, F.col("vec").alias("qvec"))
-    it = items.select(item_id, F.col("vec").alias("ivec"))
-    q_sigs, i_sigs = [], []
-    for t in range(n_tables):
-        planes = hyperplanes(dim, n_planes, seed=42 + t)
-        q = lsh_signature(q, planes, "qvec").withColumnRenamed(
-            "sig", f"sig{t}")
-        it = lsh_signature(it, planes, "ivec").withColumnRenamed(
-            "sig", f"sig{t}")
-        q_sigs.append(f"sig{t}")
-        i_sigs.append(f"sig{t}")
-    qs = q.select(
-        query_id, "qvec",
-        F.posexplode(F.array(*q_sigs)).alias("table", "sig"))
+    # every table's signature in ONE projection per side: the chained
+    # per-table withColumn formulation re-analyzed a growing plan 2×16
+    # times and left 32 stacked Projects for the optimizer (and AQE's
+    # per-stage re-optimization) to walk on every pass — measured tens
+    # of seconds of pure driver time on the composed ann_recall plan.
+    # The signature EXPRESSIONS are unchanged, so results are identical.
+    table_planes = [hyperplanes(dim, n_planes, seed=42 + t)
+                    for t in range(n_tables)]
+    qs = queries.select(
+        query_id, F.col("vec").alias("qvec"),
+        F.posexplode(F.array(*[_sig_expr(p, "vec")
+                               for p in table_planes]))
+        .alias("table", "sig"))
     its = _cap_buckets(
-        it.select(
-            item_id, "ivec",
-            F.posexplode(F.array(*i_sigs)).alias("table", "sig")),
+        items.select(
+            item_id, F.col("vec").alias("ivec"),
+            F.posexplode(F.array(*[_sig_expr(p, "vec")
+                                   for p in table_planes]))
+            .alias("table", "sig")),
         ("table", "sig"), max_bucket_size, diagnostics)
     cand = (
         its.join(F.broadcast(qs), ["table", "sig"])
@@ -222,18 +228,19 @@ def cosine_near_dup_pairs(
     if mode == "exact":
         cand = b.crossJoin(F.broadcast(a))
     elif mode == "lsh":
-        for t in range(n_tables):
-            planes = hyperplanes(dim, n_planes, seed=42 + t)
-            a = lsh_signature(a, planes, "avec").withColumnRenamed(
-                "sig", f"sig{t}")
-            b = lsh_signature(b, planes, "bvec").withColumnRenamed(
-                "sig", f"sig{t}")
-        sigs = [f"sig{t}" for t in range(n_tables)]
+        # one projection per side for ALL table signatures (identical
+        # expressions; see lsh_cosine_topk for the plan-walk rationale)
+        table_planes = [hyperplanes(dim, n_planes, seed=42 + t)
+                        for t in range(n_tables)]
         ax = a.select("doc_a", "avec",
-                      F.posexplode(F.array(*sigs)).alias("table", "sig"))
+                      F.posexplode(F.array(*[_sig_expr(p, "avec")
+                                             for p in table_planes]))
+                      .alias("table", "sig"))
         bx = _cap_buckets(
             b.select("doc_b", "bvec",
-                     F.posexplode(F.array(*sigs)).alias("table", "sig")),
+                     F.posexplode(F.array(*[_sig_expr(p, "bvec")
+                                            for p in table_planes]))
+                     .alias("table", "sig")),
             ("table", "sig"), max_bucket_size, diagnostics)
         # capping ONE side suffices: both sides explode the same corpus,
         # so a dropped (table, sig) bucket joins to nothing

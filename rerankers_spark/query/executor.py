@@ -54,6 +54,14 @@ class Engine:
         from collections import OrderedDict
 
         self._keep_bc_cache: "OrderedDict[int, tuple]" = OrderedDict()
+        # cached local-query-plan probes, keyed like the keep cache on
+        # the queries frame's SEMANTICS: a serving loop re-issuing the
+        # same query set skips the probe collect + df lookup, and a
+        # too-big log caches its False verdict so repeat calls go
+        # straight to the distributed path with no probe at all. Entries
+        # hold term df snapshots — refresh() clears (append/compact can
+        # shift df); soft deletes don't (deferred stats).
+        self._plan_cache: "OrderedDict[int, tuple]" = OrderedDict()
 
     def refresh(self) -> None:
         if self._termstats is not None:
@@ -63,6 +71,7 @@ class Engine:
         self._blocks = None
         self._tomb_bc = "stale"
         self._keep_bc_cache.clear()
+        self._plan_cache.clear()
 
     def delete(self, doc_ids: DataFrame) -> None:
         """Soft-delete docs from the index (tombstones; see
@@ -186,6 +195,25 @@ class Engine:
             self._keep_bc_cache.popitem(last=False)
         return mode, bc
 
+    PLAN_CACHE_MAX = 16
+
+    def _query_plan(self, queries: DataFrame):
+        """LocalQueryPlan for ``queries`` (or False past the caps),
+        cached per query-frame semantics — see _plan_cache."""
+        _, termstats, _ = self._handles()
+        h = queries.semanticHash()
+        got = self._plan_cache.get(h)
+        if got is not None and queries.sameSemantics(got[0]):
+            self._plan_cache.move_to_end(h)
+            return got[1]
+        plan = bmw.build_local_query_plan(self.spark, queries,
+                                          termstats) or False
+        self._plan_cache[h] = (queries, plan)
+        self._plan_cache.move_to_end(h)
+        while len(self._plan_cache) > self.PLAN_CACHE_MAX:
+            self._plan_cache.popitem(last=False)
+        return plan
+
     @classmethod
     def build(cls, spark: SparkSession, corpus: DataFrame, index_path: str,
               n_shards: int = 32, resume: bool = False,
@@ -252,6 +280,8 @@ class Engine:
         keep_bc = None
         if doc_filter is not None and mode in ("bmw", "auto"):
             keep_mode, keep_bc = self._keep_entry(doc_filter)
+        if local_plan is None:
+            local_plan = self._query_plan(queries)
         if mode == "bmw":
             meta, termstats, blocks = self._handles()
             return bmw.bmw_topk(self.spark, queries, self.paths, k=k,
@@ -290,8 +320,7 @@ class Engine:
         meta, termstats, blocks = self._handles()
         n_docs = int(meta["n_docs"])
         if local_plan is None:
-            local_plan = bmw.build_local_query_plan(
-                self.spark, queries, termstats) or False
+            local_plan = self._query_plan(queries)
         if local_plan:
             if local_plan.empty:
                 return bmw.empty_result(self.spark)
@@ -368,8 +397,7 @@ class Engine:
                 F.col("attr").isin([str(v) for v in attr_filter]))
         n_docs, avgdl = int(meta["n_docs"]), float(meta["avgdl"])
         if qt is None and local_plan is None:
-            local_plan = bmw.build_local_query_plan(
-                self.spark, queries, termstats) or False
+            local_plan = self._query_plan(queries)
         if local_plan:
             # bounded local plan (see bmw.QT_PAIR_CAP): terms + df are
             # already on the driver — no separate pushdown-collect job,
@@ -491,9 +519,7 @@ class Engine:
         first stage, so the reranker only ever sees eligible
         candidates).
         """
-        meta, termstats, _ = self._handles()
-        local_plan = bmw.build_local_query_plan(
-            self.spark, queries, termstats) or False
+        local_plan = self._query_plan(queries)
         cands = self.search(queries, k=first_k, mode=mode,
                             doc_filter=doc_filter,
                             attr_filter=attr_filter,
