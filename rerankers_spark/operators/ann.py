@@ -121,16 +121,30 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def _sql_double(x: float) -> str:
+    """Exact round-tripping SQL double literal."""
+    r = repr(float(x))
+    if "e" in r or "E" in r or "n" in r:  # exponent / nan / inf
+        return f"CAST('{r}' AS DOUBLE)"
+    return r + "D"
+
+
 def _sig_expr(planes: list[list[float]], vec_col: str):
-    """The ``sig`` Column — sign-bit signature over the hyperplanes."""
-    bits = []
+    """The ``sig`` Column — sign-bit signature over the hyperplanes,
+    assembled as ONE SQL string parsed JVM-side. The Column-API form
+    cost ~20 py4j round trips per (plane, table) — ~5 s of pure Python
+    plan CONSTRUCTION per lsh query at 16 tables × 4 planes × 2 sides —
+    for the identical expression tree. The dot is the same sequential
+    zip_with∘aggregate fold (left-to-right from 0.0) the DuckDB oracle
+    mirrors, so results are bit-identical. (An unrolled getItem multiply
+    chain was tried and REVERTED: it OOMed Janino codegen.)"""
+    parts = []
     for j, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bits.append(
-            F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(1 << j))
-            .otherwise(0)
-        )
-    return sum(bits).cast("long")
+        arr = ", ".join(_sql_double(x) for x in p)
+        dot = (f"aggregate(zip_with({vec_col}, array({arr}), "
+               f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
+        parts.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+    return F.expr("CAST((" + " + ".join(parts) + ") AS BIGINT)")
 
 
 def lsh_signature(df: DataFrame, planes: list[list[float]],
