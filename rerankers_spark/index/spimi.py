@@ -422,6 +422,29 @@ def _sha_xor_agg():
     return F.expr(_SHA_XOR_EXPR).alias("sha256_xor")
 
 
+def _probe_nonempty(spark: SparkSession, df: DataFrame) -> bool:
+    """Bounded emptiness probe: one task over one partition in the
+    (normal) non-empty case. The session-wide
+    ``spark.sql.limit.initialNumPartitions=64`` (session.py — right for
+    bounded query-plan collects) would make a bare ``isEmpty`` evaluate
+    up to 64 input partitions; scoping the conf back to 1 here keeps the
+    probe O(1 partition), and projecting a constant lets the scan prune
+    every column."""
+    old = None
+    try:
+        old = spark.conf.get("spark.sql.limit.initialNumPartitions")
+    except Exception:
+        pass
+    spark.conf.set("spark.sql.limit.initialNumPartitions", "1")
+    try:
+        return not df.select(F.lit(1).alias("one")).isEmpty()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.limit.initialNumPartitions")
+        else:
+            spark.conf.set("spark.sql.limit.initialNumPartitions", old)
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -515,7 +538,7 @@ def build_index(
         # AQE's empty-plan propagation drops the CollectMetrics row and
         # obs.get raises (reproduced on this Spark); the bounded
         # pre-shuffle isEmpty probe skips the exchange for that case only.
-        if not src.isEmpty():
+        if _probe_nonempty(spark, src):
             observed = observed.repartition("shard_id")
         paths.write(observed, "docstats", mode="overwrite",
                     partition_by=["shard_id"])
@@ -821,7 +844,7 @@ def append_index(
     obs = Observation(f"append_totals_{gen}")
     observed = dt.observe(obs, F.count(F.lit(1)).alias("n"),
                           F.sum("dl").alias("sum_dl"))
-    if not src.isEmpty():
+    if _probe_nonempty(spark, src):
         # one writer per shard dir (see build_index; skipped on an empty
         # batch, where the exchange would drop the observation row)
         observed = observed.repartition("shard_id")

@@ -50,6 +50,18 @@ def main() -> None:
     dump("auto_search", eng.search(qs, k=10, mode="auto"))
     dump("two_stage_rank", eng.rank(qs, corpus, first_k=100, final_k=10,
                                     mode="auto"))
+
+    from pyspark.sql import functions as F
+
+    from rerankers_spark.operators import ann
+
+    e = ann.with_double_vec(
+        spark.read.parquet(f"{sf}/embeddings.parquet"))
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_vec_id"), "vec")
+    dump("lsh_ann_topk", ann.lsh_cosine_topk(
+        q, e, k=10, n_planes=4, dim=64, n_tables=16,
+        max_bucket_size=100_000))
     spark.stop()
 
 

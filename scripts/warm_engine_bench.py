@@ -13,8 +13,15 @@ deployment runs it: first call cold, then best-of-3 warm per phase:
 
 Prints ONE JSON line; the recorded row lives in BENCH_SCALING.md.
 
+Cold-number caveat (ADVICE r5): only bmw_2k's "cold" is truly cold —
+later phases run on an Engine already warmed by the earlier ones
+(cached handles, per-task decoded-block caches), so their cold_sec
+understates a fresh Engine's first call.
+
 Env: WARM_CORPUS_DIR (default /tmp/sfbench800k), WARM_N_DOCS (800000),
-SPARK_GRAFT_CPUS (8), BENCH_RAMDISK=1 respected like bench.py.
+SPARK_GRAFT_CPUS (8), BENCH_RAMDISK=1 respected like bench.py;
+WARM_REBUILD=1 forces a fresh index build even if one exists (set it
+after any index-format or build-code change between rounds).
 """
 
 from __future__ import annotations
@@ -52,7 +59,13 @@ def main() -> None:
 
     corpus = documents_as_corpus(spark, corpus_dir).cache()
     n = corpus.count()
+    assert n == n_docs, (
+        f"{corpus_dir} holds {n} docs but WARM_N_DOCS={n_docs} — stale "
+        f"corpus dir from an earlier run with a different size; remove "
+        f"it or point WARM_CORPUS_DIR elsewhere")
     index_path = f"{index_root}_{n}_{cpus}"
+    if os.environ.get("WARM_REBUILD") == "1":
+        shutil.rmtree(index_path, ignore_errors=True)
     if not os.path.exists(os.path.join(index_path, "scalars")):
         shutil.rmtree(index_path, ignore_errors=True)
         t0 = time.perf_counter()
